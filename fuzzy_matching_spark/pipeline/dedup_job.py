@@ -1,0 +1,187 @@
+"""End-to-end near-duplicate detection + clustering pipeline (north rule).
+
+Stages (each optionally checkpointed to Parquet keyed by a config hash, so a
+rerun resumes from the last completed stage — the batch equivalent of
+"resumable from any stage checkpoint"):
+
+  ingest    corpus (repo, path, commit, lang, content)
+            -> doc_id = xxhash64(repo, path, commit), content_sha256
+  exact     sha-level duplicate edges (hash groupBy — no shuffle of content,
+            only of 64-bit ids + 64-char hashes)
+  minhash   signatures -> LSH bands -> candidate pairs -> exact-Jaccard
+            verification >= verify_threshold
+  simhash   64-bit signatures -> banded Hamming lookup -> Hamming <= t
+  substring fingerprint anchors -> candidates -> exact window verification
+  cluster   union of detector edge sets -> hash-min connected components
+  report    clusters table + per-stage metrics (rows, pairs, dropped
+            buckets, bucket-size skew histogram)
+
+The detectors are independently switchable; the exact detector is always on
+(it is free relative to the others and strictly increases recall).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_matching_spark.config import DedupConfig
+from fuzzy_matching_spark.operators import fingerprint, minhash, simhash
+from fuzzy_matching_spark.operators.connected_components import connected_components
+
+__all__ = ["DedupPipeline", "DedupResult"]
+
+
+@dataclass
+class DedupResult:
+    corpus: DataFrame    # + doc_id, content_sha256
+    edges: DataFrame     # doc_id pairs with detector + score
+    clusters: DataFrame  # doc_id -> component (singletons included)
+    metrics: DataFrame   # stage, metric, value
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: DedupConfig | None = None,
+        detectors: tuple[str, ...] = ("minhash",),
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.config = config or DedupConfig()
+        self.detectors = detectors
+        self.checkpoint_dir = checkpoint_dir
+        self._metrics: list[tuple[str, str, float]] = []
+        cfg_json = json.dumps(asdict(self.config), sort_keys=True) + repr(sorted(detectors))
+        self.config_hash = hashlib.sha256(cfg_json.encode()).hexdigest()[:16]
+
+    # -- checkpoint helpers ----------------------------------------------
+
+    def _stage(self, name: str, builder) -> DataFrame:
+        """Build (or resume) a stage; checkpointing keyed by (stage, config)."""
+        if not self.checkpoint_dir:
+            return builder()
+        path = f"{self.checkpoint_dir}/{name}_{self.config_hash}"
+        try:
+            df = self.spark.read.parquet(path)
+            self._metrics.append((name, "resumed_from_checkpoint", 1.0))
+            return df
+        except Exception:
+            pass
+        df = builder()
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _count_metric(self, stage: str, metric: str, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        self._metrics.append((stage, metric, float(df.count())))
+        return df
+
+    # -- stages ------------------------------------------------------------
+
+    def ingest(self, corpus: DataFrame) -> DataFrame:
+        """Attach doc_id + the per-row sha256 content invariant."""
+        return corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        ).withColumn("content_sha256", F.sha2("content", 256))
+
+    def exact_edges(self, docs: DataFrame) -> DataFrame:
+        """sha-identical files: edges to the min doc_id per hash group.
+
+        Star topology (every member -> group min) rather than all-pairs:
+        O(n) edges per group instead of O(n^2), same connected components.
+        """
+        grouped = docs.groupBy("content_sha256").agg(
+            F.min("doc_id").alias("id_a"), F.collect_list("doc_id").alias("ids")
+        )
+        return (
+            grouped.select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit("exact").alias("detector"), F.lit(1.0).alias("score"))
+        )
+
+    def minhash_edges(self, docs: DataFrame) -> DataFrame:
+        sigs = self._stage(
+            "minhash_sigs", lambda: minhash.minhash_signatures(docs, self.config)
+        )
+        bands = minhash.band_table(sigs)
+        pairs, bucket_metrics = minhash.candidate_pairs(bands, self.config)
+        skew = bucket_metrics.filter(F.col("skipped")).agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("size"), F.lit(0)).alias("rows")
+        ).collect()[0]
+        self._metrics.append(("minhash", "buckets_dropped", float(skew["n"])))
+        self._metrics.append(("minhash", "rows_in_dropped_buckets", float(skew["rows"])))
+        pairs = self._count_metric("minhash", "candidate_pairs", pairs)
+        verified = minhash.verify_pairs_exact(pairs, docs, self.config)
+        edges = verified.filter(F.col("sim") >= self.config.verify_threshold)
+        pairs.unpersist()
+        return edges.select(
+            "id_a", "id_b", F.lit("minhash").alias("detector"), F.col("sim").alias("score")
+        )
+
+    def simhash_edges(self, docs: DataFrame) -> DataFrame:
+        sigs = self._stage(
+            "simhash_sigs", lambda: simhash.simhash_signatures(docs, self.config)
+        )
+        bands = simhash.simhash_band_table(sigs, self.config)
+        cands = simhash.simhash_candidates(bands, self.config)
+        verified = simhash.verify_hamming(cands, self.config)
+        return verified.select(
+            "id_a",
+            "id_b",
+            F.lit("simhash").alias("detector"),
+            (1.0 - F.col("hamming") / F.lit(64.0)).alias("score"),
+        )
+
+    def substring_edges(self, docs: DataFrame) -> DataFrame:
+        anchors = self._stage(
+            "anchors", lambda: fingerprint.anchor_table(docs, self.config)
+        )
+        cands = fingerprint.substring_candidates(anchors, self.config)
+        verified = fingerprint.verify_substring_pairs(cands, docs, self.config)
+        return verified.select(
+            "id_a", "id_b", F.lit("substring").alias("detector"), F.lit(1.0).alias("score")
+        )
+
+    # -- entry point -------------------------------------------------------
+
+    def run(self, corpus: DataFrame) -> DedupResult:
+        docs = self._stage("ingest", lambda: self.ingest(corpus)).persist()
+        self._metrics.append(("ingest", "docs", float(docs.count())))
+
+        edge_frames = [self.exact_edges(docs)]
+        if "minhash" in self.detectors:
+            edge_frames.append(self.minhash_edges(docs))
+        if "simhash" in self.detectors:
+            edge_frames.append(self.simhash_edges(docs))
+        if "substring" in self.detectors:
+            edge_frames.append(self.substring_edges(docs))
+
+        edges = edge_frames[0]
+        for e in edge_frames[1:]:
+            edges = edges.unionByName(e)
+        edges = self._stage("edges", lambda: edges)
+        edges = self._count_metric("edges", "total_edges", edges)
+
+        pair_edges = edges.select("id_a", "id_b").distinct()
+        labels = connected_components(pair_edges)
+        clusters = (
+            docs.select("doc_id")
+            .join(labels, docs.doc_id == labels.id, "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("component"),
+            )
+        )
+        clusters = self._stage("clusters", lambda: clusters)
+
+        metrics = self.spark.createDataFrame(
+            [(s, m, v) for s, m, v in self._metrics],
+            schema="stage string, metric string, value double",
+        )
+        return DedupResult(corpus=docs, edges=edges, clusters=clusters, metrics=metrics)
