@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship dedup pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the DuckDB
+twin for every SQL-expressible query (same column names, decimals/rounding
+chosen so both engines produce bit-identical values).  UDF-backed detectors
+(MinHash / SimHash / fingerprint / greedy matcher / hyperplane ANN) are
+rows-only by design — their correctness gates are the pytest oracles
+(brute-force Jaccard, reference-semantics OracleMatcher).
 """
 
 from __future__ import annotations
@@ -12,27 +15,477 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from fuzzy_matching_spark.config import DedupConfig, FuzzyAlgorithm, MatchConfig, MatchFieldConfig
+from fuzzy_matching_spark.functions.text import (
+    block_key,
+    cleanliness_col,
+    detect_language_col,
+    normalize_name_ru_col,
+    quality_score_col,
+)
+from fuzzy_matching_spark.operators import embeddings, textops
+from fuzzy_matching_spark.operators.greedy_match import SparkMatcher
+from fuzzy_matching_spark.pipeline.dedup_job import DedupPipeline
+
+DOC_DEDUP_CONFIG = DedupConfig(shingle_size=3, tokenize="word", verify_threshold=0.7)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash dedup pipeline over sf0.001 documents -> cluster sizes."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "cast(doc_id as string) as repo",
+        "cast(doc_id as string) as path",
+        "cast(doc_id as string) as commit",
+        "lang",
+        "text as content",
+    )
+    result = DedupPipeline(spark, DOC_DEDUP_CONFIG, detectors=("minhash",)).run(docs)
+    return (
+        result.clusters.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable queries
+# ---------------------------------------------------------------------------
+
+def q_rename_concat(spark, sf_dir):
+    """P1: load-time rename + same-target concat (data_matcher.py:78-84)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("c_name"), F.lit("")),
+            F.coalesce(F.col("c_mktsegment"), F.lit("")),
+        ).alias("full_desc"),
+    )
+
+
+def q_threshold_filter(spark, sf_dir):
+    """P2: similarity-threshold-style filter (data_matcher.py:671)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("value") >= 150.0).select("event_id", "event_type", "value")
+
+
+def q_block_key_histogram(spark, sf_dir):
+    """J1 key derivation + P3 empty-value exclusion (data_matcher.py:247-259)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.length("text") > 0)
+        .select(block_key(F.col("text")).alias("bk"))
+        .groupBy("bk")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_block_join_counts(spark, sf_dir):
+    """J1: block-key intersection equi-join between two halves of the corpus."""
+    d = _t(spark, sf_dir, "documents").withColumn("bk", block_key(F.col("text")))
+    d1 = d.filter(F.col("doc_id") % 2 == 0).select("bk")
+    d2 = d.filter(F.col("doc_id") % 2 == 1).select("bk")
+    return (
+        d1.join(d2, "bk")
+        .groupBy("bk")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_consolidate_rank_pairing(spark, sf_dir):
+    """A3 consolidation counts with a SQL-expressible 1:1 match rule.
+
+    Match rule: equal (lang, first token) with rank pairing (the distributed
+    1:1 analog of greedy exclusivity — row_number within key on both sides,
+    pair equal ranks).  consolidated = matched + unmatched1 + unmatched2.
+    """
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "w1", F.split(F.trim("text"), r"\s+")[0]
+    )
+    w = Window.partitionBy("lang", "w1").orderBy("doc_id")
+    d1 = d.filter(F.col("doc_id") % 2 == 0).withColumn("rn", F.row_number().over(w))
+    d2 = d.filter(F.col("doc_id") % 2 == 1).withColumn("rn", F.row_number().over(w))
+    m = d1.select("lang", "w1", "rn").join(d2.select("lang", "w1", "rn"), ["lang", "w1", "rn"])
+    n1, n2, nm = d1.count(), d2.count(), m.count()
+    return spark.createDataFrame(
+        [(nm, n1 + n2 - nm)], schema="n_matches long, n_consolidated long"
+    )
+
+
+def q_cleanliness(spark, sf_dir):
+    """A2 cleanliness score (special-char count; length term is the
+    reference's dead weight, reproduced as 0)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", cleanliness_col(["text"], {}).alias("clean_score")
+    )
+
+
+def q_detect_language(spark, sf_dir):
+    """F8 language detection histogram."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(detect_language_col("text").alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    """F12 RU name normalization as a column pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_name_ru_col("text").alias("normalized"))
+
+
+def q_exact_dedup_stats(spark, sf_dir):
+    """Exact (sha256) dedup summary."""
+    return textops.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_top1_per_group(spark, sf_dir):
+    """W2 top-1-per-key window (longest doc per lang x source)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "doc_id", "n_chars")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting per source (training-data op)."""
+    return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    """Heuristic quality scoring per document (training-data op)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score_col("text"), 6).alias("quality"))
+
+
+def q_token_jaccard(spark, sf_dir):
+    """n-gram (token-set) Jaccard near-dup pairs >= 0.8 (training-data op)."""
+    return textops.token_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for probe vectors (training-data op)."""
+    v = _t(spark, sf_dir, "embeddings")
+    probes = v.filter(F.col("vec_id") < 10)
+    return embeddings.cosine_topk(v, probes, k=5)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation (decimal sums for cross-engine exactness)."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    out = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_sb"),
+            F.sum(disc_price).alias("_sd"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sb").cast("double").alias("sum_base_price"),
+        F.round(F.col("_sd").cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("_sb").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q_order_customer_join(spark, sf_dir):
+    """Broadcast-dim join: revenue by market segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (UDF-backed detectors; pytest carries their oracles)
+# ---------------------------------------------------------------------------
+
+def _docs_as_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id as string) as repo",
+        "cast(doc_id as string) as path",
+        "cast(doc_id as string) as commit",
+        "lang",
+        "text as content",
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from fuzzy_matching_spark.operators import minhash
+
+    docs = _docs_as_corpus(spark, sf_dir).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    sigs = minhash.minhash_signatures(docs, DOC_DEDUP_CONFIG)
+    pairs, _ = minhash.candidate_pairs(minhash.band_table(sigs), DOC_DEDUP_CONFIG)
+    verified = minhash.verify_pairs_exact(pairs, docs, DOC_DEDUP_CONFIG)
+    return verified.filter(F.col("sim") >= 0.7).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from fuzzy_matching_spark.operators import simhash
+
+    docs = _docs_as_corpus(spark, sf_dir).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    sigs = simhash.simhash_signatures(docs, DOC_DEDUP_CONFIG)
+    cands = simhash.simhash_candidates(
+        simhash.simhash_band_table(sigs, DOC_DEDUP_CONFIG), DOC_DEDUP_CONFIG
+    )
+    return simhash.verify_hamming(cands, DOC_DEDUP_CONFIG)
+
+
+def q_substring_pairs(spark, sf_dir):
+    from fuzzy_matching_spark.config import DedupConfig as DC
+    from fuzzy_matching_spark.operators import fingerprint
+
+    cfg = DC(substring_min_len=32)
+    docs = _docs_as_corpus(spark, sf_dir).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    anchors = fingerprint.anchor_table(docs, cfg)
+    cands = fingerprint.substring_candidates(anchors, cfg)
+    return fingerprint.verify_substring_pairs(cands, docs, cfg)
+
+
+def q_greedy_match_documents(spark, sf_dir):
+    """J3 greedy 1:1 matcher on the documents table (reference semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    d1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    d2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang")
+    config = MatchConfig(
+        fields=[MatchFieldConfig("text", 1.0)],
+        threshold=0.6,
+        block_field="text",
+        sort_before_match=True,
+        sort_field="doc_id",
+        fuzzy_algorithm=FuzzyAlgorithm.TOKEN_SORT,
+    )
+    matches, _ = SparkMatcher(config).match_and_consolidate(d1, d2)
+    return matches.select(
+        F.col("Оригинал.doc_id").alias("orig_doc_id"),
+        F.col("Вариант.doc_id").alias("var_doc_id"),
+        F.round("Схожесть", 6).alias("sim"),
+    )
+
+
+def q_ann_hyperplane(spark, sf_dir):
+    v = _t(spark, sf_dir, "embeddings")
+    return embeddings.random_hyperplane_ann(v, k=5, n_planes=16, bands=2, seed=42)
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    docs = _docs_as_corpus(spark, sf_dir)
+    result = DedupPipeline(spark, DOC_DEDUP_CONFIG, detectors=("minhash",)).run(docs)
+    return (
+        result.clusters.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rename_concat_projection": q_rename_concat,
+        "threshold_filter": q_threshold_filter,
+        "block_key_histogram": q_block_key_histogram,
+        "block_join_counts": q_block_join_counts,
+        "consolidate_rank_pairing": q_consolidate_rank_pairing,
+        "cleanliness_scores": q_cleanliness,
+        "detect_language_histogram": q_detect_language,
+        "normalize_text": q_normalize_text,
+        "exact_dedup_stats": q_exact_dedup_stats,
+        "top1_per_group": q_top1_per_group,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "token_jaccard_pairs": q_token_jaccard,
+        "embedding_cosine_topk": q_embedding_topk,
+        "pricing_summary": q_pricing_summary,
+        "order_customer_join": q_order_customer_join,
+        "minhash_dedup_pairs": q_minhash_pairs,
+        "simhash_dedup_pairs": q_simhash_pairs,
+        "substring_dedup_pairs": q_substring_pairs,
+        "greedy_match_documents": q_greedy_match_documents,
+        "ann_hyperplane": q_ann_hyperplane,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rename_concat_projection": """
+            SELECT c_custkey AS id,
+                   concat_ws(' ', coalesce(c_name, ''), coalesce(c_mktsegment, '')) AS full_desc
+            FROM customer
+        """,
+        "threshold_filter": """
+            SELECT event_id, event_type, value FROM events WHERE value >= 150.0
+        """,
+        "block_key_histogram": """
+            SELECT upper(substr(text, 1, 1)) AS bk, count(*) AS n_docs
+            FROM documents WHERE length(text) > 0 GROUP BY 1
+        """,
+        "block_join_counts": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN length(text) > 0 THEN upper(substr(text,1,1)) END AS bk
+                       FROM documents)
+            SELECT d1.bk AS bk, count(*) AS n_pairs
+            FROM (SELECT bk FROM d WHERE doc_id % 2 = 0) d1
+            JOIN (SELECT bk FROM d WHERE doc_id % 2 = 1) d2 USING (bk)
+            GROUP BY 1
+        """,
+        "consolidate_rank_pairing": """
+            WITH base AS (SELECT doc_id, lang,
+                                 string_split_regex(trim(text), '\\s+')[1] AS w1
+                          FROM documents),
+                 d1 AS (SELECT *, row_number() OVER (PARTITION BY lang, w1 ORDER BY doc_id) rn
+                        FROM base WHERE doc_id % 2 = 0),
+                 d2 AS (SELECT *, row_number() OVER (PARTITION BY lang, w1 ORDER BY doc_id) rn
+                        FROM base WHERE doc_id % 2 = 1),
+                 m AS (SELECT d1.doc_id FROM d1 JOIN d2 USING (lang, w1, rn))
+            SELECT (SELECT count(*) FROM m) AS n_matches,
+                   (SELECT count(*) FROM d1) + (SELECT count(*) FROM d2)
+                     - (SELECT count(*) FROM m) AS n_consolidated
+        """,
+        "cleanliness_scores": """
+            SELECT doc_id,
+                   length(regexp_replace(text, '[a-zA-Zа-яА-Я0-9\\s]', '', 'g'))::double AS clean_score
+            FROM documents
+        """,
+        "detect_language_histogram": """
+            WITH counts AS (
+              SELECT length(regexp_replace(text, '[^а-яА-ЯёЁ]', '', 'g')) AS ru,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS en,
+                     length(text) AS n
+              FROM documents)
+            SELECT CASE
+                     WHEN n = 0 THEN NULL
+                     WHEN ru + en = 0 THEN NULL
+                     WHEN ru * 1.0 / (ru + en) > 0.7 THEN 'ru'
+                     WHEN en * 1.0 / (ru + en) > 0.7 THEN 'en'
+                     ELSE 'mixed'
+                   END AS detected_lang,
+                   count(*) AS n_docs
+            FROM counts GROUP BY 1
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 'ё', 'е') AS normalized
+            FROM documents
+        """,
+        "exact_dedup_stats": """
+            SELECT count(*) AS total_docs,
+                   count(DISTINCT sha256(text)) AS distinct_docs,
+                   count(*) - count(DISTINCT sha256(text)) AS dup_docs
+            FROM documents
+        """,
+        "top1_per_group": """
+            SELECT lang, source, doc_id, n_chars FROM (
+              SELECT lang, source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "token_stats": """
+            WITH t AS (SELECT source,
+                              CASE WHEN length(trim(text)) = 0 THEN 0
+                                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+                       FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   sum(toks)::bigint AS total_tokens,
+                   round(avg(toks), 6) AS avg_tokens
+            FROM t GROUP BY 1
+        """,
+        "quality_scores": """
+            SELECT doc_id, round((
+              (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0
+                    WHEN length(text) < 50 THEN length(text) / 50.0
+                    ELSE 10000.0 / length(text) END)
+              + (CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^a-zA-Zа-яА-ЯёЁ]', '', 'g')) * 1.0 / length(text)
+                      ELSE 0 END)
+              + least(len(list_filter(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+                        x -> x IN ('the','and','of','to','a','in','is','for','on','with'))) / 3.0, 1.0)
+            ) / 3.0, 6) AS quality
+            FROM documents
+        """,
+        "token_jaccard_pairs": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+                          FROM documents),
+                 sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+                 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                           FROM toks a JOIN toks b USING (tok)
+                           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+        """,
+        "embedding_cosine_topk": """
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(p.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], v.embedding::DOUBLE[]) DESC,
+                                v.vec_id ASC) AS rank
+              FROM (SELECT * FROM embeddings WHERE vec_id < 10) p
+              CROSS JOIN embeddings v
+              WHERE p.vec_id <> v.vec_id)
+            WHERE rank <= 5
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(18,2))::double AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(18,2))::double AS sum_base_price,
+                   round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::double, 2) AS sum_disc_price,
+                   round(sum(l_quantity::DECIMAL(18,2))::double / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice::DECIMAL(18,2))::double / count(*), 6) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "order_customer_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   sum(o_totalprice::DECIMAL(18,2))::double AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+    }

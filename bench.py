@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1}
+
+``--scaling`` mode (north-rule evidence): run the dedup pipeline on a
+deterministic synthetic code corpus at two parallelism levels (local[8] vs
+local[32] — the sandbox stand-in for N vs 4N executors), report files/sec at
+both plus scaling efficiency, and write BENCH/BASELINE.md.  Each level runs
+in its own subprocess so each gets a fresh JVM.
+
+Usage:
+    python bench.py                      # driver contract
+    python bench.py --scaling            # scaling evidence -> BENCH/BASELINE.md
+    python bench.py --run-one --cores 8 --data /tmp/corpus  # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "dedup_cluster_sizes",
+    "minhash_dedup_pairs",
+    "simhash_dedup_pairs",
+    "substring_dedup_pairs",
+    "token_jaccard_pairs",
+    "greedy_match_documents",
+    "exact_dedup_stats",
+    "detect_language_histogram",
+    "quality_scores",
+    "token_stats",
+    "embedding_cosine_topk",
+    "ann_hyperplane",
+    "pricing_summary",
+    "order_customer_join",
+]
+
+
+def _force(df):
+    """Materialize fully without driver collect overhead."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_headline() -> None:
+    from fuzzy_matching_spark.pipeline.session import build_session
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = build_session(app_name="fms-bench")
+    spark.sparkContext.setCheckpointDir("/tmp/fms-bench-ckpt")
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scaling mode
+# ---------------------------------------------------------------------------
+
+def _ensure_corpus(path: str, n_base: int, seed: int = 42) -> int:
+    """Write the deterministic bench corpus once; return row count."""
+    meta = os.path.join(path, "_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return json.load(f)["rows"]
+    from fuzzy_matching_spark.fixtures.corpus import generate_corpus
+    from fuzzy_matching_spark.pipeline.session import build_session
+
+    fx = generate_corpus(n_base=n_base, seed=seed)
+    spark = build_session(master="local[8]", app_name="fms-bench-gen")
+    df = spark.createDataFrame(fx.rows).repartition(64)
+    df.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+    spark.stop()
+    with open(meta, "w") as f:
+        json.dump({"rows": len(fx.rows)}, f)
+    return len(fx.rows)
+
+
+def run_one(cores: int, data: str) -> None:
+    """Internal: one dedup-pipeline run at a given parallelism; prints JSON."""
+    from fuzzy_matching_spark.config import DedupConfig
+    from fuzzy_matching_spark.pipeline.dedup_job import DedupPipeline
+    from fuzzy_matching_spark.pipeline.session import build_session
+
+    # fixed shuffle-partition count at both levels: partitioning is part of
+    # the job definition; only executor parallelism varies between runs
+    spark = build_session(
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+        app_name=f"fms-scaling-{cores}",
+    )
+    corpus = spark.read.parquet(os.path.join(data, "corpus"))
+    rows = corpus.count()  # warm the scan outside the timed region
+
+    t0 = time.time()
+    result = DedupPipeline(spark, DedupConfig(), detectors=("minhash",)).run(corpus)
+    n_clusters = result.clusters.select("component").distinct().count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {"cores": cores, "rows": rows, "wall_sec": round(wall, 2),
+             "files_per_sec": round(rows / wall, 1), "clusters": n_clusters}
+        )
+    )
+    spark.stop()
+
+
+def run_scaling(n_base: int) -> None:
+    data = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/fms-bench-corpus")
+    rows = _ensure_corpus(data, n_base)
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-one",
+             "--cores", str(cores), "--data", data],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    efficiency = round((t8 / t32) / 4.0, 3)
+    summary = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": efficiency,
+        "unit": "ratio",
+        "queries": {
+            "dedup_local8_files_per_sec": results[8]["files_per_sec"],
+            "dedup_local32_files_per_sec": results[32]["files_per_sec"],
+            "dedup_local8_sec": t8,
+            "dedup_local32_sec": t32,
+        },
+        "sf": rows,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE — scaling evidence (sandbox stand-in for N vs 4N executors)\n\n"
+            f"Deterministic synthetic code corpus (seed=42): **{rows} files**.\n"
+            "Same job (MinHash dedup pipeline, DedupConfig defaults), same input,\n"
+            "two parallelism levels; fresh JVM per run.\n\n"
+            "| parallelism | wall (s) | files/sec | clusters |\n|---|---|---|---|\n"
+            f"| local[8] | {t8} | {results[8]['files_per_sec']} | {results[8]['clusters']} |\n"
+            f"| local[32] | {t32} | {results[32]['files_per_sec']} | {results[32]['clusters']} |\n\n"
+            f"**Scaling efficiency (T8/T32)/4 = {efficiency}** (target >= 0.8 per BASELINE.json).\n\n"
+            f"Determinism check: cluster counts at both levels — "
+            f"{results[8]['clusters']} vs {results[32]['clusters']} "
+            f"({'identical' if results[8]['clusters'] == results[32]['clusters'] else 'MISMATCH'}).\n"
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--run-one", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--data", type=str, default="/tmp/fms-bench-corpus")
+    ap.add_argument("--n-base", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "10000")))
+    args = ap.parse_args()
+
+    if args.run_one:
+        run_one(args.cores, args.data)
+    elif args.scaling:
+        run_scaling(args.n_base)
+    else:
+        run_headline()
+
+
+if __name__ == "__main__":
+    main()

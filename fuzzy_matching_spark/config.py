@@ -72,7 +72,11 @@ class DedupConfig:
 
     * MinHash over ``shingle_size``-gram shingles, ``num_perm`` permutations,
       LSH with ``bands`` x ``rows_per_band`` (``bands*rows_per_band`` must be
-      ``num_perm``).
+      ``num_perm``).  Defaults 25x5 put the S-curve threshold at
+      ``(1/25)^(1/5) = 0.52`` with collision probability 0.990 at Jaccard
+      0.70 — the steepest curve that still meets the >=0.99 recall gate at
+      the default ``verify_threshold``; the flatter 32x4 curve admits
+      everything above ~0.42 and floods verification with candidates.
     * SimHash 64-bit with ``simhash_bands`` Hamming bands and
       ``simhash_max_hamming`` verification threshold.
     * Fingerprint (0-mod-q winnowing) long-substring detector with windows of
@@ -84,9 +88,9 @@ class DedupConfig:
     """
 
     shingle_size: int = 5
-    num_perm: int = 128
-    bands: int = 32
-    rows_per_band: int = 4
+    num_perm: int = 125
+    bands: int = 25
+    rows_per_band: int = 5
     tokenize: str = "char"  # "char" | "word"
     verify_threshold: float = 0.7
     max_bucket_size: int = 200

@@ -45,7 +45,10 @@ _VERBS = ["load", "parse", "merge", "split", "filter", "reduce", "map", "scan",
 
 
 def _ident(rng: random.Random) -> str:
-    return f"{rng.choice(_VERBS)}_{rng.choice(_WORDS)}"
+    # per-call numeric suffix keeps unrelated files' shingle sets disjoint
+    # enough that only injected variants are near-dups (a uniform 32-word
+    # vocabulary would make *every* file pair ~0.4 Jaccard and drown LSH)
+    return f"{rng.choice(_VERBS)}_{rng.choice(_WORDS)}_{rng.randint(0, 99999)}"
 
 
 def _gen_function(rng: random.Random, lang: str) -> str:
@@ -53,7 +56,7 @@ def _gen_function(rng: random.Random, lang: str) -> str:
     args = ", ".join(_ident(rng) for _ in range(rng.randint(1, 3)))
     body_lines = []
     for _ in range(rng.randint(3, 10)):
-        a, b, c = _ident(rng), _ident(rng), rng.randint(1, 99)
+        a, b, c = _ident(rng), _ident(rng), rng.randint(1, 999999)
         op = rng.choice(["+", "-", "*", "%"])
         body_lines.append(f"    {a} = {b} {op} {c}")
     ret = f"    return {_ident(rng)}"

@@ -1,0 +1,148 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Training-data-pipeline operators over an ``array<float>`` embedding column.
+
+* :func:`cosine_topk` — exact baseline: block-nested-loop via a crossJoin
+  restricted to a (small, broadcast) probe set; all arithmetic stays JVM-side
+  (``zip_with``/``aggregate``) inside whole-stage codegen — no Python.
+  Cost is O(|probes| * N): correct tool when probes are few; the N x N case
+  belongs to the LSH variant.
+* :func:`random_hyperplane_ann` — scale path: sign-of-projection signatures
+  against ``n_planes`` seeded random hyperplanes; candidates collide on a
+  signature band, then exact cosine re-ranks.  Same derived-key-equi-join
+  geometry as the MinHash LSH (salting/AQE story carries over).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "random_hyperplane_ann"]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each probe among ``vectors``.
+
+    -> (query_id, neighbor_id, cosine) with ``row_number`` rank <= k,
+    ties broken by neighbor_id for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    p = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        F.broadcast(p)
+        .crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qvec"), F.col("nvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def random_hyperplane_ann(
+    vectors: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs approximate top-k: hyperplane-sign LSH buckets + exact rerank.
+
+    The signature computation is expressed as JVM column arithmetic over
+    literal hyperplane arrays (dim is small for embeddings) — the plan stays
+    inside codegen; no Python workers anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    sig_bits = []
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        sig_bits.append((_dot(F.col(vec_col), plane_lit) > 0).cast("int"))
+    width = n_planes // bands
+    band_keys = []
+    for b in range(bands):
+        expr = F.lit(0)
+        for j in range(width):
+            expr = expr * 2 + sig_bits[b * width + j]
+        band_keys.append(expr)
+
+    tagged = vectors.select(
+        F.col(id_col), F.col(vec_col), F.array(*band_keys).alias("bandkeys")
+    )
+    bandtab = tagged.select(
+        id_col, vec_col, F.posexplode("bandkeys").alias("band", "bkey")
+    )
+    left = bandtab.select(
+        "band", "bkey", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    right = bandtab.select(
+        "band", "bkey", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    cands = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity_col(F.col("qvec"), F.col("nvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

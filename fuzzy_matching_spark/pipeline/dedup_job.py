@@ -67,12 +67,14 @@ class DedupPipeline:
         if not self.checkpoint_dir:
             return builder()
         path = f"{self.checkpoint_dir}/{name}_{self.config_hash}"
-        try:
-            df = self.spark.read.parquet(path)
+        # probe for the _SUCCESS marker instead of read.parquet(try/except):
+        # a failed read logs a Java stack trace even when caught
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        if hpath.getFileSystem(hconf).exists(hpath):
             self._metrics.append((name, "resumed_from_checkpoint", 1.0))
-            return df
-        except Exception:
-            pass
+            return self.spark.read.parquet(path)
         df = builder()
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
@@ -106,10 +108,12 @@ class DedupPipeline:
         )
 
     def minhash_edges(self, docs: DataFrame) -> DataFrame:
+        # sigs feed three consumers (banding, the estimate prefilter, skew
+        # metrics) — persist or every consumer re-runs the mapInPandas scan
         sigs = self._stage(
             "minhash_sigs", lambda: minhash.minhash_signatures(docs, self.config)
-        )
-        bands = minhash.band_table(sigs)
+        ).persist()
+        bands = minhash.band_table(sigs).persist()
         pairs, bucket_metrics = minhash.candidate_pairs(bands, self.config)
         skew = bucket_metrics.filter(F.col("skipped")).agg(
             F.count("*").alias("n"), F.coalesce(F.sum("size"), F.lit(0)).alias("rows")
@@ -117,9 +121,21 @@ class DedupPipeline:
         self._metrics.append(("minhash", "buckets_dropped", float(skew["n"])))
         self._metrics.append(("minhash", "rows_in_dropped_buckets", float(skew["rows"])))
         pairs = self._count_metric("minhash", "candidate_pairs", pairs)
-        verified = minhash.verify_pairs_exact(pairs, docs, self.config)
+        # Signature-estimate prefilter (3 sigma below the threshold for
+        # P=125: sigma = sqrt(t(1-t)/P) ~ 0.041) before the exact verify:
+        # the estimate join moves 1 KB signatures per pair, the exact verify
+        # moves full contents — so shrink the pair set first.
+        margin = 3.0 * (self.config.verify_threshold * (1 - self.config.verify_threshold)
+                        / self.config.num_perm) ** 0.5
+        est = minhash.estimate_similarity(pairs, sigs)
+        prefiltered = est.filter(
+            F.col("sim") >= self.config.verify_threshold - margin
+        ).select("id_a", "id_b")
+        prefiltered = self._count_metric("minhash", "prefiltered_pairs", prefiltered)
+        verified = minhash.verify_pairs_exact(prefiltered, docs, self.config)
         edges = verified.filter(F.col("sim") >= self.config.verify_threshold)
         pairs.unpersist()
+        bands.unpersist()
         return edges.select(
             "id_a", "id_b", F.lit("minhash").alias("detector"), F.col("sim").alias("score")
         )
