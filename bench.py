@@ -97,17 +97,17 @@ def _ensure_corpus(path: str, n_base: int, seed: int = 42) -> int:
     if os.path.exists(meta):
         with open(meta) as f:
             return json.load(f)["rows"]
-    from fuzzy_matching_spark.fixtures.corpus import generate_corpus
+    from fuzzy_matching_spark.fixtures.corpus import generate_corpus_df
     from fuzzy_matching_spark.pipeline.session import build_session
 
-    fx = generate_corpus(n_base=n_base, seed=seed)
-    spark = build_session(master="local[8]", app_name="fms-bench-gen")
-    df = spark.createDataFrame(fx.rows).repartition(64)
+    spark = build_session(master="local[32]", app_name="fms-bench-gen")
+    df = generate_corpus_df(spark, n_base=n_base, seed=seed, partitions=128)
     df.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
+    rows = spark.read.parquet(os.path.join(path, "corpus")).count()
     spark.stop()
     with open(meta, "w") as f:
-        json.dump({"rows": len(fx.rows)}, f)
-    return len(fx.rows)
+        json.dump({"rows": rows}, f)
+    return rows
 
 
 def run_one(cores: int, data: str) -> None:
@@ -127,7 +127,9 @@ def run_one(cores: int, data: str) -> None:
     rows = corpus.count()  # warm the scan outside the timed region
 
     t0 = time.time()
-    result = DedupPipeline(spark, DedupConfig(), detectors=("minhash",)).run(corpus)
+    result = DedupPipeline(
+        spark, DedupConfig(), detectors=("minhash",), collect_metrics=False
+    ).run(corpus)
     n_clusters = result.clusters.select("component").distinct().count()
     wall = time.time() - t0
     print(

@@ -55,7 +55,7 @@ def _gen_function(rng: random.Random, lang: str) -> str:
     name = _ident(rng)
     args = ", ".join(_ident(rng) for _ in range(rng.randint(1, 3)))
     body_lines = []
-    for _ in range(rng.randint(3, 10)):
+    for _ in range(rng.randint(5, 14)):
         a, b, c = _ident(rng), _ident(rng), rng.randint(1, 999999)
         op = rng.choice(["+", "-", "*", "%"])
         body_lines.append(f"    {a} = {b} {op} {c}")
@@ -71,7 +71,7 @@ def _gen_function(rng: random.Random, lang: str) -> str:
 
 def _gen_file(rng: random.Random, lang: str) -> str:
     header = rng.choice(LICENSE_HEADERS)
-    funcs = [_gen_function(rng, lang) for _ in range(rng.randint(2, 6))]
+    funcs = [_gen_function(rng, lang) for _ in range(rng.randint(3, 9))]
     return header + "\n" + "\n".join(funcs)
 
 
@@ -127,48 +127,86 @@ class CorpusFixture:
     truth: list[dict]         # src/dst keys + mutation + is_dup
 
 
-def generate_corpus(n_base: int = 200, seed: int = 42, variant_prob: float = 0.6) -> CorpusFixture:
-    """Generate ``n_base`` base files plus injected variants + truth table."""
-    rng = random.Random(seed)
+def _gen_base(i: int, seed: int, variant_prob: float):
+    """Base file #i plus its variants — seeded per index, so the output is
+    identical whether generated locally or across any partitioning."""
+    rng = random.Random((seed << 32) ^ (i * 0x9E3779B9))
     rows: list[dict] = []
     truth: list[dict] = []
 
-    for i in range(n_base):
-        lang = rng.choice(LANGS)
-        repo = f"org{rng.randint(0, 9)}/repo{rng.randint(0, 19)}"
-        path = f"src/pkg{rng.randint(0, 5)}/mod_{i}.{ 'py' if lang == 'python' else lang }"
-        commit = _commit(rng)
-        content = _gen_file(rng, lang)
+    lang = rng.choice(LANGS)
+    repo = f"org{rng.randint(0, 9)}/repo{rng.randint(0, 19)}"
+    path = f"src/pkg{rng.randint(0, 5)}/mod_{i}.{ 'py' if lang == 'python' else lang }"
+    commit = _commit(rng)
+    content = _gen_file(rng, lang)
+    rows.append(
+        {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+    )
+
+    n_variants = 0
+    if rng.random() < variant_prob:
+        n_variants = rng.randint(1, 3)
+    for v in range(n_variants):
+        mutation = rng.choice(["exact", "reformat", "rename", "comment", "suffix"])
+        if mutation == "exact":
+            new_content = content
+        elif mutation == "reformat":
+            new_content = _mut_reformat(content, rng)
+        elif mutation == "rename":
+            new_content = _mut_rename(content, rng)
+        elif mutation == "comment":
+            new_content = _mut_comment(content, rng)
+        else:
+            new_content = _mut_suffix(content, rng, lang)
+        v_repo = f"org{rng.randint(0, 9)}/repo{rng.randint(20, 39)}"
+        v_path = f"vendor/copy{v}/mod_{i}.{ 'py' if lang == 'python' else lang }"
+        v_commit = _commit(rng)
         rows.append(
-            {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+            {"repo": v_repo, "path": v_path, "commit": v_commit, "lang": lang,
+             "content": new_content}
         )
+        truth.append(
+            {"src_repo": repo, "src_path": path, "src_commit": commit,
+             "dst_repo": v_repo, "dst_path": v_path, "dst_commit": v_commit,
+             "mutation": mutation, "is_dup": True}
+        )
+    return rows, truth
 
-        n_variants = 0
-        if rng.random() < variant_prob:
-            n_variants = rng.randint(1, 3)
-        for v in range(n_variants):
-            mutation = rng.choice(["exact", "reformat", "rename", "comment", "suffix"])
-            if mutation == "exact":
-                new_content = content
-            elif mutation == "reformat":
-                new_content = _mut_reformat(content, rng)
-            elif mutation == "rename":
-                new_content = _mut_rename(content, rng)
-            elif mutation == "comment":
-                new_content = _mut_comment(content, rng)
-            else:
-                new_content = _mut_suffix(content, rng, lang)
-            v_repo = f"org{rng.randint(0, 9)}/repo{rng.randint(20, 39)}"
-            v_path = f"vendor/copy{v}/mod_{i}.{ 'py' if lang == 'python' else lang }"
-            v_commit = _commit(rng)
-            rows.append(
-                {"repo": v_repo, "path": v_path, "commit": v_commit, "lang": lang,
-                 "content": new_content}
-            )
-            truth.append(
-                {"src_repo": repo, "src_path": path, "src_commit": commit,
-                 "dst_repo": v_repo, "dst_path": v_path, "dst_commit": v_commit,
-                 "mutation": mutation, "is_dup": True}
-            )
 
+def generate_corpus(n_base: int = 200, seed: int = 42, variant_prob: float = 0.6) -> CorpusFixture:
+    """Generate ``n_base`` base files plus injected variants + truth table."""
+    rows: list[dict] = []
+    truth: list[dict] = []
+    for i in range(n_base):
+        r, t = _gen_base(i, seed, variant_prob)
+        rows.extend(r)
+        truth.extend(t)
     return CorpusFixture(rows=rows, truth=truth)
+
+
+def generate_corpus_df(spark, n_base: int, seed: int = 42, variant_prob: float = 0.6,
+                       partitions: int = 64):
+    """Distributed generator (S6: ``spark.range`` + seeded ``mapInPandas``).
+
+    Produces the exact same rows as :func:`generate_corpus` — per-index
+    seeding makes output partitioning-invariant — but scales to bench-sized
+    corpora (hundreds of thousands of files) without a single-process loop.
+    Truth rows are not emitted here; pytest-scale fixtures use the local
+    generator.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                rows.extend(_gen_base(int(i), seed, variant_prob)[0])
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    return (
+        spark.range(n_base)
+        .repartition(partitions)
+        .mapInPandas(gen, schema="repo string, path string, commit string, lang string, content string")
+    )

@@ -130,6 +130,37 @@ def weighted_similarity(record1: dict, record2: dict, config: MatchConfig):
     return sum(s * w for s, w in zip(sims, weights)) / total_w, detail
 
 
+def select_best_transliteration_variant(
+    variants: list[str], target_lang: str = "ru", standard=None
+) -> str | None:
+    """Pick the variant best representing the name in ``target_lang`` (F20,
+    reference ``data_matcher.py:549-599``): a variant already in the target
+    language wins outright; otherwise each variant is transliterated toward
+    the target and scored by :func:`transliteration_quality` against the
+    transliteration of the first variant (the reference's baseline choice).
+    """
+    if not variants:
+        return None
+    if len(variants) == 1:
+        return variants[0]
+    for v in variants:
+        if translit.detect_language(v) == target_lang:
+            return v
+    standard = standard or translit.PASSPORT_STANDARD
+    tr = (
+        translit.transliterate_en_to_ru
+        if target_lang == "ru"
+        else translit.transliterate_ru_to_en
+    )
+    reference_text = tr(variants[0], standard)
+    best, best_score = variants[0], 0.0
+    for v in variants:
+        quality = transliteration_quality(v, tr(v, standard), reference_text)
+        if quality > best_score:
+            best_score, best = quality, v
+    return best
+
+
 def cleanliness_score(record: dict, match_fields: list[str], weights: dict[str, float]) -> float:
     """special-char count + len * weights.get('length', 0).
 

@@ -98,12 +98,18 @@ def anchor_table(
 def substring_candidates(
     anchors: DataFrame, config: DedupConfig, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Self-join on anchor hash -> (id_a, id_b, pos_a, pos_b) distinct pairs."""
-    sizes = anchors.groupBy("anchor").agg(F.count("*").alias("size"))
-    ok = F.broadcast(
-        sizes.filter((F.col("size") > 1) & (F.col("size") <= config.max_bucket_size)).select("anchor")
+    """Self-join on anchor hash -> (id_a, id_b, pos_a, pos_b) distinct pairs.
+
+    Size-capped via a distributed window count (see minhash.candidate_pairs
+    for why not a driver-side broadcast of ok keys)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor")
+    kept = (
+        anchors.withColumn("_asz", F.count("*").over(w))
+        .filter((F.col("_asz") > 1) & (F.col("_asz") <= config.max_bucket_size))
+        .drop("_asz")
     )
-    kept = anchors.join(ok, "anchor")
     left = kept.select("anchor", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"))
     right = kept.select("anchor", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"))
     return (

@@ -173,13 +173,22 @@ def candidate_pairs(
     Returns ``(pairs, bucket_metrics)``; buckets larger than
     ``max_bucket_size`` are excluded from pair expansion and surfaced in the
     metrics frame (band, bh, size, skipped) — never silently dropped.
+
+    The size filter is a window count over (band, bh) — one extra shuffle,
+    fully distributed.  (A broadcast semi-join of "ok buckets" would funnel
+    every bucket key through the driver: at corpus scale that's millions of
+    rows of driver work that doesn't shrink with cluster size.)
     """
+    from pyspark.sql.window import Window
+
     sizes = bands_df.groupBy("band", "bh").agg(F.count("*").alias("size"))
     metrics = sizes.withColumn("skipped", F.col("size") > config.max_bucket_size)
-    ok = F.broadcast(
-        metrics.filter(~F.col("skipped") & (F.col("size") > 1)).select("band", "bh")
-    ) if config.max_bucket_size else metrics
-    kept = bands_df.join(ok, ["band", "bh"])
+    w = Window.partitionBy("band", "bh")
+    kept = (
+        bands_df.withColumn("_bsz", F.count("*").over(w))
+        .filter((F.col("_bsz") > 1) & (F.col("_bsz") <= config.max_bucket_size))
+        .drop("_bsz")
+    )
 
     left = kept.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
     right = kept.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))

@@ -51,11 +51,16 @@ class DedupPipeline:
         config: DedupConfig | None = None,
         detectors: tuple[str, ...] = ("minhash",),
         checkpoint_dir: str | None = None,
+        collect_metrics: bool = True,
     ):
+        """``collect_metrics=False`` skips the per-stage count jobs (each is
+        a full Spark job); use for latency-sensitive benchmarking — lineage
+        numbers belong in production runs, not in the timed region."""
         self.spark = spark
         self.config = config or DedupConfig()
         self.detectors = detectors
         self.checkpoint_dir = checkpoint_dir
+        self.collect_metrics = collect_metrics
         self._metrics: list[tuple[str, str, float]] = []
         cfg_json = json.dumps(asdict(self.config), sort_keys=True) + repr(sorted(detectors))
         self.config_hash = hashlib.sha256(cfg_json.encode()).hexdigest()[:16]
@@ -81,7 +86,8 @@ class DedupPipeline:
 
     def _count_metric(self, stage: str, metric: str, df: DataFrame) -> DataFrame:
         df = df.persist()
-        self._metrics.append((stage, metric, float(df.count())))
+        if self.collect_metrics:
+            self._metrics.append((stage, metric, float(df.count())))
         return df
 
     # -- stages ------------------------------------------------------------
@@ -115,11 +121,12 @@ class DedupPipeline:
         ).persist()
         bands = minhash.band_table(sigs).persist()
         pairs, bucket_metrics = minhash.candidate_pairs(bands, self.config)
-        skew = bucket_metrics.filter(F.col("skipped")).agg(
-            F.count("*").alias("n"), F.coalesce(F.sum("size"), F.lit(0)).alias("rows")
-        ).collect()[0]
-        self._metrics.append(("minhash", "buckets_dropped", float(skew["n"])))
-        self._metrics.append(("minhash", "rows_in_dropped_buckets", float(skew["rows"])))
+        if self.collect_metrics:
+            skew = bucket_metrics.filter(F.col("skipped")).agg(
+                F.count("*").alias("n"), F.coalesce(F.sum("size"), F.lit(0)).alias("rows")
+            ).collect()[0]
+            self._metrics.append(("minhash", "buckets_dropped", float(skew["n"])))
+            self._metrics.append(("minhash", "rows_in_dropped_buckets", float(skew["rows"])))
         pairs = self._count_metric("minhash", "candidate_pairs", pairs)
         # Signature-estimate prefilter (3 sigma below the threshold for
         # P=125: sigma = sqrt(t(1-t)/P) ~ 0.041) before the exact verify:
@@ -168,7 +175,8 @@ class DedupPipeline:
 
     def run(self, corpus: DataFrame) -> DedupResult:
         docs = self._stage("ingest", lambda: self.ingest(corpus)).persist()
-        self._metrics.append(("ingest", "docs", float(docs.count())))
+        if self.collect_metrics:
+            self._metrics.append(("ingest", "docs", float(docs.count())))
 
         edge_frames = [self.exact_edges(docs)]
         if "minhash" in self.detectors:

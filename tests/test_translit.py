@@ -133,3 +133,15 @@ def test_process_transliteration_same_language_passthrough():
 def test_process_transliteration_empty_returns_zero():
     v1, v2, sim = pairscore.process_transliteration("", "Ivanov", _cfg())
     assert (v1, v2, sim) == ("", "Ivanov", 0.0)
+
+
+def test_select_best_transliteration_variant():
+    from fuzzy_matching_spark.kernel.pairscore import select_best_transliteration_variant as f
+
+    assert f([]) is None
+    assert f(["Ivanov"]) == "Ivanov"
+    # a variant already in the target language wins outright
+    assert f(["Ivanov", "Иванов"], "ru") == "Иванов"
+    assert f(["Иванов", "Ivanov"], "en") == "Ivanov"
+    # otherwise quality vs the first variant's transliteration decides
+    assert f(["Ivanov", "Zzz"], "ru") == "Ivanov"
