@@ -92,6 +92,10 @@ class DedupConfig:
     bands: int = 25
     rows_per_band: int = 5
     tokenize: str = "char"  # "char" | "word"
+    # "oph": one-permutation hashing + densification — O(shingles) per doc,
+    # the scale default.  "classic": 125 independent minwise permutations —
+    # O(shingles x num_perm), kept for cross-validation of the OPH path.
+    minhash_mode: str = "oph"
     verify_threshold: float = 0.7
     max_bucket_size: int = 200
     simhash_bands: int = 4

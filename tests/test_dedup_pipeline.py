@@ -138,24 +138,47 @@ def test_metrics_present(spark, corpus_df):
     assert ("edges", "total_edges") in m
 
 
-def test_connected_components_basic(spark):
+# threshold 0 forces the distributed hash-min loop; the default exercises
+# the driver union-find fast path — both must produce min-id labels
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_basic(spark, driver_threshold):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         schema="id_a long, id_b long",
     )
-    labels = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=driver_threshold).collect()
+    }
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[10] == labels[11] == 10
     assert labels[20] == labels[21] == labels[22] == labels[23] == 20
 
 
-def test_connected_components_chain_convergence(spark):
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_chain_convergence(spark, driver_threshold):
     # a 40-vertex path graph: worst case for hash-min diameter
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 140)], schema="id_a long, id_b long"
     )
-    labels = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=driver_threshold).collect()
+    }
     assert set(labels.values()) == {100}
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and the distributed loop must label identically."""
+    import random
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(400)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, schema="id_a long, id_b long")
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(map(tuple, connected_components(df, driver_threshold=0).collect()))
+    assert fast == dist
 
 
 def test_checkpoint_resume(spark, corpus_df, tmp_path):
