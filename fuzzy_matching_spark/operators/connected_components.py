@@ -132,5 +132,12 @@ def _driver_union_find(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
             parent.setdefault(b, rb)
 
     vertices = {v for r in rows for v in (r[0], r[1])}
-    out = [(v, find(v)) for v in vertices]
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"id": list(vertices), "component": [find(v) for v in vertices]},
+        dtype="int64",
+    )
+    # pandas input goes driver->JVM as Arrow batches; a list of tuples
+    # would be pickled row-by-row
     return edges.sparkSession.createDataFrame(out, schema="id long, component long")
