@@ -37,7 +37,6 @@ from pyspark.sql import functions as F
 
 from fuzzy_matching_spark.config import MatchConfig
 from fuzzy_matching_spark.functions.text import block_key, cleanliness_col
-from fuzzy_matching_spark.kernel import pairscore
 
 __all__ = ["SparkMatcher", "attach_seq"]
 
@@ -46,40 +45,22 @@ BK = "_fm_bk"
 
 
 def attach_seq(df: DataFrame) -> DataFrame:
-    """Attach a stable input-order index (``_fm_seq``).
+    """Attach a stable input-order sort key (``_fm_seq``).
 
-    Deterministic given the input partition order, which Spark guarantees
-    for file sources and ``createDataFrame`` — this is the DataFrame analog
-    of the reference's list order / ``id()`` identity tracking
-    (``data_matcher.py:472-497``).
-
-    Implemented as the JVM-side zipWithIndex equivalent: per-partition row
-    numbers (``monotonically_increasing_id`` is ascending within a
-    partition) plus broadcast per-partition offsets.  The naive
-    ``df.rdd.zipWithIndex()`` round-trip would pickle every row through the
-    Python worker — a non-starter on wide corpora.
+    This is the DataFrame analog of the reference's list order / ``id()``
+    identity tracking (``data_matcher.py:472-497``).  The key only needs to
+    be *unique* and *monotone in input order* — it is used as a sort
+    tiebreaker within blocks and as a pair id for the consolidation joins,
+    never as a dense 0..n-1 index — so ``monotonically_increasing_id()``
+    ((partition_id << 33) + row_in_partition) is exactly right: ascending
+    across (partition, row), which equals input order for file sources and
+    ``createDataFrame``.  Zero extra jobs, shuffles, or windows; the
+    previous per-partition-offset implementation ran two eager collect
+    jobs plus a window per input and dominated small-match latency.
     """
     if SEQ in df.columns:
         return df
-    from pyspark.sql.window import Window
-
-    tagged = df.withColumn("_fm_pid", F.spark_partition_id()).withColumn(
-        "_fm_mid", F.monotonically_increasing_id()
-    )
-    sizes = tagged.groupBy("_fm_pid").agg(F.count("*").alias("_n")).collect()
-    offsets, acc = [], 0
-    for row in sorted(sizes, key=lambda r: r["_fm_pid"]):
-        offsets.append((row["_fm_pid"], acc))
-        acc += row["_n"]
-    offsets_df = df.sparkSession.createDataFrame(
-        offsets or [(0, 0)], schema="_fm_pid int, _fm_off long"
-    )
-    w = Window.partitionBy("_fm_pid").orderBy("_fm_mid")
-    return (
-        tagged.join(F.broadcast(offsets_df), "_fm_pid", "left")
-        .withColumn(SEQ, F.coalesce("_fm_off", F.lit(0)) + F.row_number().over(w) - 1)
-        .drop("_fm_pid", "_fm_mid", "_fm_off")
-    )
+    return df.withColumn(SEQ, F.monotonically_increasing_id())
 
 
 class SparkMatcher:
@@ -122,6 +103,10 @@ class SparkMatcher:
         threshold = config.threshold
 
         def greedy(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from fuzzy_matching_spark.functions import scoring
+
             if left.empty or right.empty:
                 return pd.DataFrame({"left_seq": [], "right_seq": [], "sim": []}).astype(
                     {"left_seq": "int64", "right_seq": "int64", "sim": "float64"}
@@ -129,23 +114,24 @@ class SparkMatcher:
             order_cols = ([*sort_keys, SEQ] if sort_before else [SEQ])
             left = left.sort_values([c for c in order_cols if c in left.columns], kind="stable")
             right = right.sort_values([c for c in order_cols if c in right.columns], kind="stable")
-            lrecs = left.fillna("").to_dict("records")
-            rrecs = right.fillna("").to_dict("records")
-            taken: set[int] = set()
+            # Whole-block score matrix, vectorized (batched bit-parallel LCS);
+            # then the sequential argmax assignment the reference semantics
+            # demand (left order, strict >, right exclusivity).  Same output
+            # as per-pair scoring — the matrix is just computed up front.
+            M = scoring.config_score_matrix(left, right, config)
+            lseq = left[SEQ].to_numpy()
+            rseq = right[SEQ].to_numpy()
+            taken = np.zeros(len(right), dtype=bool)
             out_l, out_r, out_s = [], [], []
-            for rec1 in lrecs:
-                best_sim, best_j = 0.0, None
-                for j, rec2 in enumerate(rrecs):
-                    if j in taken:
-                        continue
-                    sim, _ = pairscore.weighted_similarity(rec1, rec2, config)
-                    if sim > best_sim:
-                        best_sim, best_j = sim, j
-                if best_j is not None and best_sim >= threshold:
-                    taken.add(best_j)
-                    out_l.append(int(rec1[SEQ]))
-                    out_r.append(int(rrecs[best_j][SEQ]))
-                    out_s.append(best_sim)
+            for i in range(len(left)):
+                row = np.where(taken, -1.0, M[i])
+                j = int(row.argmax())  # first max == reference's strict >
+                best = float(row[j])
+                if best > 0.0 and best >= threshold:
+                    taken[j] = True
+                    out_l.append(int(lseq[i]))
+                    out_r.append(int(rseq[j]))
+                    out_s.append(best)
             return pd.DataFrame({"left_seq": out_l, "right_seq": out_r, "sim": out_s})
 
         return greedy
