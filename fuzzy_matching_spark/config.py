@@ -97,6 +97,14 @@ class DedupConfig:
     # O(shingles x num_perm), kept for cross-validation of the OPH path.
     minhash_mode: str = "oph"
     verify_threshold: float = 0.7
+    # "auto": settle dense-signature pairs from the byte-truncated estimate
+    # (3-sigma accept/drop band) and exact-verify the rest — the scale
+    # default.  Sparse-signature pairs (n_shingles < num_perm) always go to
+    # exact verification: OPH densification correlates their components, so
+    # the estimate is unreliable in both directions.  "always": exact-verify
+    # every candidate pair — the correctness/audit mode (and what the
+    # SQL-checkable driver queries run, so results are oracle-reproducible).
+    verify_mode: str = "auto"
     max_bucket_size: int = 200
     simhash_bands: int = 4
     simhash_max_hamming: int = 3

@@ -272,17 +272,29 @@ def candidate_pairs(
 def estimate_similarity(pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Jaccard estimate = fraction of agreeing signature components.
 
+    -> (id_a, id_b, sim, ns_a, ns_b); ``ns_*`` are the sides' shingle
+    counts so callers can gate the estimate's trust on signature density
+    (OPH densification makes estimates of *sparse* docs — fewer shingles
+    than permutations — correlated and unreliable; see
+    ``DedupPipeline.minhash_edges``).
+
     The signatures are truncated to their low byte (``array<tinyint>``)
     before the pair join: the join is the expensive part — O(pairs) rows x
     2 signatures each — and 125 bytes moves 8x less than 125 longs.  A
     truncation false-match inflates the estimate by at most (1-J)/256
     (~0.004), which only widens the keep-side of the prefilter band —
-    recall-safe; borderline pairs are settled by the exact verifier anyway.
-    All arithmetic stays JVM-side (``transform``/``zip_with``).
+    recall-safe for the drop rule; the accept rule is only applied to
+    dense-signature pairs where the residual bias is far inside the
+    3-sigma margin.  All arithmetic stays JVM-side (``transform``/
+    ``zip_with``).
     """
     sig8 = F.transform("sig", lambda x: (x.bitwiseAND(F.lit(255)) - 128).cast("tinyint"))
-    a = sig_df.select(F.col(id_col).alias("id_a"), sig8.alias("s8_a"))
-    b = sig_df.select(F.col(id_col).alias("id_b"), sig8.alias("s8_b"))
+    a = sig_df.select(
+        F.col(id_col).alias("id_a"), sig8.alias("s8_a"), F.col("n_shingles").alias("ns_a")
+    )
+    b = sig_df.select(
+        F.col(id_col).alias("id_b"), sig8.alias("s8_b"), F.col("n_shingles").alias("ns_b")
+    )
     joined = pairs.join(a, "id_a").join(b, "id_b")
     agree = F.size(
         F.filter(
@@ -290,7 +302,11 @@ def estimate_similarity(pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_
         )
     )
     return joined.select(
-        "id_a", "id_b", (agree / F.size("s8_a")).cast("double").alias("sim")
+        "id_a",
+        "id_b",
+        (agree / F.size("s8_a")).cast("double").alias("sim"),
+        "ns_a",
+        "ns_b",
     )
 
 

@@ -85,8 +85,14 @@ class DedupPipeline:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
-    def _count_metric(self, stage: str, metric: str, df: DataFrame) -> DataFrame:
+    def _count_metric(self, stage: str, metric: str, df: DataFrame, keep: bool = False) -> DataFrame:
         df = df.persist()
+        # persists are registered so run()'s finally block can release
+        # executor storage even on failure (long-lived sessions otherwise
+        # leak cached stages across runs); ``keep=True`` is for frames the
+        # caller receives in the DedupResult — their cache must outlive run()
+        if not keep:
+            self._temp_persists.append(df)
         if self.collect_metrics:
             self._metrics.append((stage, metric, float(df.count())))
         return df
@@ -129,6 +135,17 @@ class DedupPipeline:
             self._metrics.append(("minhash", "buckets_dropped", float(skew["n"])))
             self._metrics.append(("minhash", "rows_in_dropped_buckets", float(skew["rows"])))
         pairs = self._count_metric("minhash", "candidate_pairs", pairs)
+        t = self.config.verify_threshold
+        if self.config.verify_mode == "always":
+            # correctness mode: every candidate pair gets the exact
+            # shingle-Jaccard; surviving edges are provably >= t
+            verified = minhash.verify_pairs_exact(pairs, docs, self.config).filter(
+                F.col("sim") >= t
+            )
+            self._temp_persists += [sigs, bands, pairs]
+            return verified.select(
+                "id_a", "id_b", F.lit("minhash").alias("detector"), F.col("sim").alias("score")
+            )
         # Sketch-then-confirm (the LSH at 25x5 floods boilerplate-heavy
         # corpora with just-below-threshold candidates, and the exact verify
         # moves ~16 KB of shingle hashes per pair — so settle as many pairs
@@ -136,16 +153,26 @@ class DedupPipeline:
         #   est >= t+3sigma  -> accept directly (P[true J < t] < 2e-3)
         #   est in (t-3sigma, t+3sigma) -> exact shingle-Jaccard verify
         #   est <= t-3sigma  -> drop (P[true J >= t] < 2e-3)
-        # sigma = sqrt(t(1-t)/P) ~ 0.041 at t=0.7, P=125.  Recall loss vs
-        # full exact verification is only the drop rule, same as the
-        # previous prefilter; the accept rule can only add edges.
-        t = self.config.verify_threshold
+        # sigma = sqrt(t(1-t)/P) ~ 0.041 at t=0.7, P=125.
+        #
+        # The 3-sigma bound assumes *independent* signature components,
+        # which only holds for dense signatures.  When a doc has fewer
+        # shingles than permutations, OPH fills the empty buckets by
+        # circular borrowing, so the densified components of two sparse
+        # docs are strongly correlated — a true-Jaccard-1/3 pair can
+        # estimate at 0.98 (and a true duplicate can estimate below
+        # t-3sigma).  Pairs where EITHER side is sparse therefore bypass
+        # the estimate entirely and go to exact verification, in both
+        # directions — the fast accept AND the fast drop are dense-only.
         margin = 3.0 * (t * (1 - t) / self.config.num_perm) ** 0.5
+        dense = (F.col("ns_a") >= self.config.num_perm) & (
+            F.col("ns_b") >= self.config.num_perm
+        )
         est = minhash.estimate_similarity(pairs, sigs).persist()
-        accepted = est.filter(F.col("sim") >= t + margin)
+        accepted = est.filter(dense & (F.col("sim") >= t + margin))
         accepted = self._count_metric("minhash", "accepted_by_estimate", accepted)
         ambiguous = est.filter(
-            (F.col("sim") >= t - margin) & (F.col("sim") < t + margin)
+            (~dense) | ((F.col("sim") >= t - margin) & (F.col("sim") < t + margin))
         ).select("id_a", "id_b")
         ambiguous = self._count_metric("minhash", "ambiguous_pairs", ambiguous)
         verified = minhash.verify_pairs_exact(ambiguous, docs, self.config).filter(
@@ -189,6 +216,14 @@ class DedupPipeline:
     # -- entry point -------------------------------------------------------
 
     def run(self, corpus: DataFrame) -> DedupResult:
+        try:
+            return self._run(corpus)
+        finally:
+            for df in self._temp_persists:
+                df.unpersist()
+            self._temp_persists.clear()
+
+    def _run(self, corpus: DataFrame) -> DedupResult:
         docs = self._stage("ingest", lambda: self.ingest(corpus)).persist()
         if self.collect_metrics:
             self._metrics.append(("ingest", "docs", float(docs.count())))
@@ -218,7 +253,7 @@ class DedupPipeline:
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)
         edges = self._stage("edges", lambda: edges)
-        edges = self._count_metric("edges", "total_edges", edges)
+        edges = self._count_metric("edges", "total_edges", edges, keep=True)
 
         pair_edges = edges.select("id_a", "id_b").distinct()
         labels = connected_components(pair_edges)
@@ -231,10 +266,6 @@ class DedupPipeline:
             )
         )
         clusters = self._stage("clusters", lambda: clusters)
-
-        for df in self._temp_persists:
-            df.unpersist()
-        self._temp_persists.clear()
 
         metrics = self.spark.createDataFrame(
             [(s, m, v) for s, m, v in self._metrics],
