@@ -110,6 +110,12 @@ class DedupConfig:
     simhash_max_hamming: int = 3
     substring_min_len: int = 64
     fingerprint_mod: int = 8
+    # "rolling": vectorized polynomial rolling hash over codepoint windows —
+    # the O(n) scale default.  "md5": per-window md5 (anchor = hex digest,
+    # selected on the first digest byte mod q) — slower but reproducible in
+    # ANSI SQL, so the driver's DuckDB oracle can recompute the exact anchor
+    # set; both modes implement the same 0-mod-q sampling semantics.
+    anchor_hash: str = "rolling"
     seed: int = 42
 
     def __post_init__(self):

@@ -93,12 +93,22 @@ def random_hyperplane_ann(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs approximate top-k: hyperplane-sign LSH buckets + exact rerank.
 
     The signature computation is expressed as JVM column arithmetic over
     literal hyperplane arrays (dim is small for embeddings) — the plan stays
     inside codegen; no Python workers anywhere.
+
+    Skew/scale design (mirrors ``minhash.candidate_pairs``):
+
+    * buckets larger than ``max_bucket_size`` are excluded from pair
+      expansion via a distributed window count — one dense embedding region
+      otherwise makes a quadratic bucket;
+    * the band self-join carries *ids only*; vectors are re-joined once per
+      deduplicated (query, neighbor) pair, so full embeddings are never
+      shuffled through the candidate dedup.
     """
     from pyspark.sql.window import Window
 
@@ -120,25 +130,32 @@ def random_hyperplane_ann(
     tagged = vectors.select(
         F.col(id_col), F.col(vec_col), F.array(*band_keys).alias("bandkeys")
     )
-    bandtab = tagged.select(
-        id_col, vec_col, F.posexplode("bandkeys").alias("band", "bkey")
-    )
-    left = bandtab.select(
-        "band", "bkey", F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    right = bandtab.select(
-        "band", "bkey", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-    )
+    bandtab = tagged.select(id_col, F.posexplode("bandkeys").alias("band", "bkey"))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bkey")
+        bandtab = (
+            bandtab.withColumn("_bsz", F.count("*").over(wb))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    left = bandtab.select("band", "bkey", F.col(id_col).alias("query_id"))
+    right = bandtab.select("band", "bkey", F.col(id_col).alias("neighbor_id"))
     cands = (
         left.join(right, ["band", "bkey"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qvec", "nvec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity_col(F.col("qvec"), F.col("nvec")).alias("cosine"),
+    qv = tagged.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    nv = tagged.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        cands.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("qvec"), F.col("nvec")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -71,9 +71,43 @@ def anchor_table(
     content_col: str = "content",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """-> (doc_id, anchor long, pos int): 0-mod-q sampled window fingerprints."""
+    """-> (doc_id, anchor, pos int): 0-mod-q sampled window fingerprints.
+
+    ``anchor`` is a long (rolling mode, the scale default) or the md5 hex
+    string of the window (md5 mode — SQL-reproducible; see
+    ``DedupConfig.anchor_hash``).  Both modes select ~1/q of the windows by
+    a content-determined rule, so shared substrings align across docs.
+    """
     L = config.substring_min_len
     q = config.fingerprint_mod
+    mode = getattr(config, "anchor_hash", "rolling")
+
+    if mode == "md5":
+        import hashlib
+
+        def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, anchors, positions = [], [], []
+                for doc_id, text in zip(pdf[id_col], pdf[content_col]):
+                    text = text or ""
+                    m = len(text) - L + 1
+                    if m <= 0:
+                        continue
+                    digests = [
+                        hashlib.md5(text[i : i + L].encode("utf-8")).hexdigest()
+                        for i in range(m)
+                    ]
+                    sel = [i for i, d in enumerate(digests) if int(d[:2], 16) % q == 0]
+                    if not sel:
+                        sel = [0]  # guarantee one anchor per doc
+                    ids.extend([doc_id] * len(sel))
+                    anchors.extend(digests[i] for i in sel)
+                    positions.extend(sel)
+                yield pd.DataFrame({id_col: ids, "anchor": anchors, "pos": positions})
+
+        return df.select(id_col, content_col).mapInPandas(
+            compute, schema=f"`{id_col}` long, anchor string, pos int"
+        )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

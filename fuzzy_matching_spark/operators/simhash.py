@@ -21,34 +21,52 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import hashlib
+
 from fuzzy_matching_spark.config import DedupConfig
-from fuzzy_matching_spark.operators.minhash import _splitmix64, _MASK64
 
 __all__ = ["simhash_signatures", "simhash_band_table", "simhash_candidates", "verify_hamming"]
 
+_BIT_CHUNK = 8192  # unique tokens per dense (chunk, 64) vote expansion
 
-def _token_hashes(tokens, seed: int) -> np.ndarray:
-    """Stable 64-bit hashes of a token sequence, one vectorized C call.
 
-    ``pd.util.hash_array`` (SipHash-derived, keyed) replaces the per-token
-    Python byte fold — ~100x less Python-loop work per doc; the key derives
-    from the config seed so output is deterministic for a fixed seed.
+def token_hash(token: str, seed: int) -> int:
+    """64-bit token hash: low 64 bits of md5(f"{seed}:{token}").
+
+    md5 (not a keyed SipHash) so the *identical* hash is computable in
+    ANSI-SQL engines — the driver's DuckDB oracle reproduces the full
+    SimHash signature with ``('0x' || substr(md5(seed || ':' || tok), 1,
+    16))::UBIGINT``, which makes the detector's output SQL-checkable
+    end-to-end.  Cryptographic strength is irrelevant here; 64 uniform
+    bits per distinct token are what SimHash needs.
     """
-    arr = pd.array(tokens, dtype=object) if not isinstance(tokens, np.ndarray) else tokens
-    hashed = pd.util.hash_array(
-        np.asarray(arr, dtype=object), hash_key=f"{seed & 0xFFFFFFFF:016x}", categorize=False
-    )
-    return _splitmix64(hashed.astype(np.uint64))
+    h = hashlib.md5(f"{seed}:{token}".encode("utf-8")).hexdigest()
+    return int(h[:16], 16)
 
 
-def _simhash_one(text: str, seed: int) -> np.uint64:
+def _simhash_one(text: str, seed: int, cache: dict) -> np.uint64:
     toks = text.split()
     if not toks:
         return np.uint64(0)
-    hashes = _token_hashes(toks, seed)
-    # vote per token instance (equivalent to unique-with-count weighting)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
+    # unique-with-counts weighting: identical result to voting per token
+    # instance, but the dense (tokens, 64) vote matrix is bounded by the
+    # number of *unique* tokens — and chunked, so a multi-MB doc cannot
+    # transiently allocate hundreds of MB inside an Arrow batch
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    hashes = np.empty(uniq.size, dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        hv = cache.get(tok)
+        if hv is None:
+            hv = token_hash(tok, seed)
+            cache[tok] = hv
+        hashes[i] = hv
+    votes = np.zeros(64, dtype=np.int64)
+    shift = np.arange(64, dtype=np.uint64)[None, :]
+    for lo in range(0, uniq.size, _BIT_CHUNK):
+        h = hashes[lo : lo + _BIT_CHUNK]
+        c = counts[lo : lo + _BIT_CHUNK]
+        bits = ((h[:, None] >> shift) & np.uint64(1)).astype(np.int64)
+        votes += ((2 * bits - 1) * c[:, None]).sum(axis=0)
     sig_bits = (votes > 0).astype(np.uint64)
     return np.uint64((sig_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
@@ -63,8 +81,14 @@ def simhash_signatures(
     seed = config.seed
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}  # token -> hash, shared across the worker's batches
         for pdf in batches:
-            sigs = [np.int64(np.uint64(_simhash_one(t or "", seed))) for t in pdf[content_col]]
+            if len(cache) > 1_000_000:  # bound worker memory on huge vocabularies
+                cache.clear()
+            sigs = [
+                np.int64(np.uint64(_simhash_one(t or "", seed, cache)))
+                for t in pdf[content_col]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sigs})
 
     return df.select(id_col, content_col).mapInPandas(

@@ -67,29 +67,32 @@ def token_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bitmask_vocab_limit: int = 62,
 ) -> DataFrame:
     """Token-set Jaccard near-dup pairs >= threshold (n-gram Jaccard, n=1).
 
-    Classic explode/aggregate formulation — expressible in ANSI SQL, used as
-    the SQL-checkable member of the dedup family:
+    Classic explode/aggregate semantics — expressible in ANSI SQL, used as
+    the SQL-checkable member of the dedup family.  Two physical plans,
+    chosen by measured vocabulary size (one tiny aggregate job):
 
-    * per doc: distinct token set + its size,
-    * inverted index join on token -> per-pair intersection size,
-    * jaccard = inter / (|a| + |b| - inter).
+    * **small vocabulary** (<= ``bitmask_vocab_limit`` distinct tokens,
+      e.g. log/telemetry corpora): every token set is encoded as one
+      64-bit bitmask over the global vocabulary, so intersection/union are
+      ``bit_count`` codegen ops instead of string-array intersections, the
+      candidate join carries 8-byte masks instead of token arrays, and the
+      Jaccard filter runs *before* the pair-dedup so only >= t survivors
+      reach the distinct.  The vocabulary (bounded by the limit) is the
+      only driver-side piece — a deliberate, size-gated exception to the
+      no-collect rule.
+    * **general vocabulary**: PPJoin-style lossless pruning — rare-first
+      prefix filter (two sets with Jaccard >= t must share a token within
+      each other's first ``|d| - ceil(t*|d|) + 1`` rarest tokens) +
+      size-ratio filter, then exact ``array_intersect`` on candidates.
+      The token-frequency table is joined with a plain shuffle join (AQE
+      broadcasts it when it actually fits — a hard ``broadcast()`` of the
+      full vocabulary OOMs at corpus scale).
 
-    Scale design (lossless PPJoin-style pruning; the naive inverted-index
-    join is quadratic on hot tokens):
-
-    * **prefix filter** — tokens ordered by ascending global frequency; two
-      sets with Jaccard >= t must share a token within each other's first
-      ``|d| - ceil(t*|d|) + 1`` tokens, so only prefix tokens are indexed;
-    * **size-ratio filter** — |a|/|b| must lie in [t, 1/t]; applied inside
-      the candidate join before any aggregation;
-    * exact intersection via ``array_intersect`` on the (deduped, compact)
-      token arrays — one row per candidate pair instead of one per shared
-      token occurrence.
-
-    Both filters only *remove* pairs that provably cannot reach the
+    Both plans only *remove* pairs that provably cannot reach the
     threshold, so the result set is identical to the naive formulation
     (the DuckDB oracle runs the naive SQL).
     """
@@ -98,14 +101,96 @@ def token_jaccard_pairs(
         F.array_distinct(F.split(F.trim(text_col), r"\s+")).alias("toks"),
     ).withColumn("sz", F.size("toks"))
 
-    # global token frequencies -> rare-first ordering makes prefixes selective
+    # global token frequencies: rare-first ordering for the prefix filter,
+    # and the vocabulary-size measurement that picks the physical plan
     freq = (
         tok_arrays.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
     )
+    vocab_probe = freq.limit(bitmask_vocab_limit + 1).collect()
+    if len(vocab_probe) <= bitmask_vocab_limit:
+        return _token_jaccard_bitmask(
+            tok_arrays, vocab_probe, threshold, id_col
+        )
+    return _token_jaccard_ppjoin(tok_arrays, freq, threshold, id_col)
+
+
+def _token_jaccard_bitmask(tok_arrays, vocab_rows, threshold, id_col):
+    """Small-vocabulary plan: single-long bitmask token sets.
+
+    ``vocab_rows`` is the full (token, df) list, bounded by the vocab limit.
+    Bits are assigned rare-first so a mask's *lowest* set bits are its
+    rarest tokens — the prefix filter becomes a mask over the low bits.
+    """
+    ordered = sorted(vocab_rows, key=lambda r: (r["df"], r["tok"]))
+    bit_map = F.create_map(
+        *[
+            x
+            for i, r in enumerate(ordered)
+            for x in (F.lit(r["tok"]), F.lit(1 << i).cast("long"))
+        ]
+    )
+    masked = tok_arrays.select(
+        F.col(id_col),
+        "sz",
+        F.aggregate(
+            F.transform("toks", lambda t: bit_map[t]),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc.bitwiseOR(v),
+        ).alias("mask"),
+    )
+
+    # prefix filter: the ceil(t*sz)-1 rarest tokens can be skipped; a pair
+    # with Jaccard >= t must share one of the remaining (rarest-first)
+    # prefix tokens.  Index each doc under its prefix token *bits*.
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # positions of set bits, rare-first = ascending bit index (static
+    # per-bit literals — the vocab bound keeps this a <=62-element array)
+    bits = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.col("mask").bitwiseAND(F.lit(1 << i).cast("long")) != 0, F.lit(i)
+                )
+                for i in range(len(ordered))
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    prefix = (
+        masked.withColumn("bit", F.explode(F.slice(bits, F.lit(1), prefix_len.cast("int"))))
+        .select(id_col, "sz", "mask", "bit")
+    )
+
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("mask").alias("mask_a"), "bit",
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("mask").alias("mask_b"), "bit",
+    )
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    return (
+        a.join(b, "bit")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+        )
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+    )
+
+
+def _token_jaccard_ppjoin(tok_arrays, freq, threshold, id_col):
+    """General plan: rare-first prefix + size filter + exact array verify."""
     exploded = tok_arrays.select(id_col, "sz", F.explode("toks").alias("tok"))
-    ranked = exploded.join(F.broadcast(freq), "tok").withColumn(
+    ranked = exploded.join(freq, "tok").withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("tok"))

@@ -1,0 +1,46 @@
+"""Hyperplane-ANN skew handling: a dense embedding region (one hot bucket)
+must not expand quadratically when the bucket cap is set."""
+
+import numpy as np
+
+from fuzzy_matching_spark.operators import embeddings
+
+
+def _vectors(spark, n_hot=300, n_base=50, dim=8, seed=1):
+    rng = np.random.default_rng(seed)
+    rows = []
+    hot = rng.standard_normal(dim)
+    for i in range(n_hot):
+        # near-identical vectors -> identical sign signatures -> one bucket
+        rows.append((i, (hot + 1e-4 * rng.standard_normal(dim)).astype(float).tolist()))
+    for i in range(n_base):
+        rows.append((n_hot + i, rng.standard_normal(dim).astype(float).tolist()))
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+
+
+def test_bucket_cap_bounds_candidates(spark):
+    v = _vectors(spark)
+    capped = embeddings.random_hyperplane_ann(
+        v, k=3, n_planes=8, bands=2, max_bucket_size=100
+    )
+    # hot-bucket members lose their bucket (cap), so the 300 hot vectors
+    # produce no quadratic blowup; result stays small and the query returns
+    rows = capped.collect()
+    hot_queries = {r["query_id"] for r in rows if r["query_id"] < 300}
+    assert len(rows) < 300 * 3 + 50 * 3 + 1
+    # base vectors still get neighbors
+    assert any(r["query_id"] >= 300 for r in rows)
+    # uncapped finds hot neighbors for hot queries; capped must not blow up
+    # (the dropped bucket is the accounted recall cost of the cap)
+    assert len(hot_queries) < 300
+
+
+def test_uncapped_equals_capped_when_no_bucket_exceeds(spark):
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(8).astype(float).tolist()) for i in range(60)]
+    v = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    a = embeddings.random_hyperplane_ann(v, k=3, n_planes=8, bands=2, max_bucket_size=1000)
+    b = embeddings.random_hyperplane_ann(v, k=3, n_planes=8, bands=2, max_bucket_size=None)
+    sa = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in a.collect()}
+    sb = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in b.collect()}
+    assert sa == sb
