@@ -4,10 +4,18 @@
 ``queries()`` exposes one callable per implemented operator family
 (SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the DuckDB
 twin for every SQL-expressible query (same column names, decimals/rounding
-chosen so both engines produce bit-identical values).  UDF-backed detectors
-(MinHash / SimHash / fingerprint / greedy matcher / hyperplane ANN) are
-rows-only by design — their correctness gates are the pytest oracles
-(brute-force Jaccard, reference-semantics OracleMatcher).
+chosen so both engines produce bit-identical values).
+
+The detector queries are fully oracle-backed: MinHash runs in exhaustive-
+verify mode against an inverted-shingle-index SQL twin; SimHash signatures
+use seed-keyed md5 token hashes that DuckDB recomputes bit-for-bit;
+the substring detector runs its md5 anchor mode (same 0-mod-q sampling
+semantics, SQL-reproducible); the hyperplane ANN oracle inlines the seeded
+plane literals; cluster sizes are checked against a recursive-CTE
+connected-components twin.  The one rows-only query is the reference-
+semantics greedy matcher over free text (its LCS scorer has no ANSI-SQL
+equivalent) — its correctness gates are the exact-parity pytest oracles
+plus the SQL-checkable ``greedy_match_rank_oracle`` restricted variant.
 """
 
 from __future__ import annotations
@@ -228,7 +236,8 @@ def q_order_customer_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (UDF-backed detectors; pytest carries their oracles)
+# detector queries (oracle-backed; the greedy free-text matcher is the one
+# rows-only entry — its LCS scorer has no ANSI-SQL equivalent)
 # ---------------------------------------------------------------------------
 
 def _docs_as_corpus(spark, sf_dir):
@@ -241,12 +250,23 @@ def _docs_as_corpus(spark, sf_dir):
     )
 
 
+def _docs_content(spark, sf_dir):
+    """documents with the original doc_id (oracle joins on it directly)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash LSH candidates + exhaustive exact verification.
+
+    Every candidate pair gets the exact shingle-set Jaccard, so the output
+    is the set of candidate pairs with true J >= 0.7 — which the DuckDB
+    oracle reproduces from an inverted shingle index (recall of the 25x5
+    banding at J >= 0.7 is ~1; parity at sf0.01 is exact)."""
     from fuzzy_matching_spark.operators import minhash
 
-    docs = _docs_as_corpus(spark, sf_dir).withColumn(
-        "doc_id", F.xxhash64("repo", "path", "commit")
-    )
+    docs = _docs_content(spark, sf_dir)
     sigs = minhash.minhash_signatures(docs, DOC_DEDUP_CONFIG)
     pairs, _ = minhash.candidate_pairs(minhash.band_table(sigs), DOC_DEDUP_CONFIG)
     verified = minhash.verify_pairs_exact(pairs, docs, DOC_DEDUP_CONFIG)
@@ -256,33 +276,42 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash banded Hamming pairs (<= 3 of 64 bits).
+
+    4 bands x 16 bits guarantee recall for Hamming <= 3 (pigeonhole), and
+    the md5 token hashes are SQL-computable, so the oracle recomputes the
+    exact signatures and the full <= 3 pair set."""
     from fuzzy_matching_spark.operators import simhash
 
-    docs = _docs_as_corpus(spark, sf_dir).withColumn(
-        "doc_id", F.xxhash64("repo", "path", "commit")
-    )
+    docs = _docs_content(spark, sf_dir)
     sigs = simhash.simhash_signatures(docs, DOC_DEDUP_CONFIG)
     cands = simhash.simhash_candidates(
         simhash.simhash_band_table(sigs, DOC_DEDUP_CONFIG), DOC_DEDUP_CONFIG
     )
-    return simhash.verify_hamming(cands, DOC_DEDUP_CONFIG)
+    return simhash.verify_hamming(cands, DOC_DEDUP_CONFIG).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_substring_pairs(spark, sf_dir):
+    """Exact long-substring pairs via md5 anchors (SQL-reproducible mode)."""
     from fuzzy_matching_spark.config import DedupConfig as DC
     from fuzzy_matching_spark.operators import fingerprint
 
-    cfg = DC(substring_min_len=32)
-    docs = _docs_as_corpus(spark, sf_dir).withColumn(
-        "doc_id", F.xxhash64("repo", "path", "commit")
-    )
+    cfg = DC(substring_min_len=32, anchor_hash="md5")
+    docs = _docs_content(spark, sf_dir)
     anchors = fingerprint.anchor_table(docs, cfg)
     cands = fingerprint.substring_candidates(anchors, cfg)
     return fingerprint.verify_substring_pairs(cands, docs, cfg)
 
 
 def q_greedy_match_documents(spark, sf_dir):
-    """J3 greedy 1:1 matcher on the documents table (reference semantics)."""
+    """J3 greedy 1:1 matcher on the documents table (reference semantics).
+
+    Rows-only by design: the TOKEN_SORT scorer is a bit-parallel LCS with
+    no ANSI-SQL equivalent.  Correctness gates: exact-parity pytest vs the
+    single-machine OracleMatcher (8 configs, tests/test_matcher_spark.py)
+    plus the SQL-checkable restricted variant ``greedy_match_rank_oracle``."""
     d = _t(spark, sf_dir, "documents")
     d1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
     d2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang")
@@ -302,14 +331,52 @@ def q_greedy_match_documents(spark, sf_dir):
     )
 
 
+def q_greedy_match_rank(spark, sf_dir):
+    """A3/J3 restricted variant with an exact SQL twin: at threshold 1.0 the
+    weighted similarity is 1.0 iff every field matches exactly, so the
+    greedy 1:1 assignment degenerates to rank pairing within equal keys —
+    same cogroup/ordering/exclusivity machinery, SQL-checkable output.
+
+    NOTE the matcher string-coerces all fields (reference loads everything
+    as str), so the sort key is the *string* form of doc_id — the oracle
+    orders by CAST(doc_id AS VARCHAR)."""
+    d = _t(spark, sf_dir, "documents")
+    d1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    d2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang")
+    config = MatchConfig(
+        fields=[MatchFieldConfig("lang", 1.0)],
+        threshold=1.0,
+        block_field="lang",
+        sort_before_match=True,
+        sort_field="doc_id",
+        fuzzy_algorithm=FuzzyAlgorithm.RATIO,
+    )
+    matches, _ = SparkMatcher(config).match_and_consolidate(d1, d2)
+    return matches.select(
+        F.col("Оригинал.doc_id").cast("long").alias("orig_doc_id"),
+        F.col("Вариант.doc_id").cast("long").alias("var_doc_id"),
+        F.round("Схожесть", 6).alias("sim"),
+    )
+
+
 def q_ann_hyperplane(spark, sf_dir):
     v = _t(spark, sf_dir, "embeddings")
     return embeddings.random_hyperplane_ann(v, k=5, n_planes=16, bands=2, seed=42)
 
 
+DOC_CLUSTER_CONFIG = DedupConfig(
+    shingle_size=3, tokenize="word", verify_threshold=0.7, verify_mode="always"
+)
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
+    """Full pipeline -> cluster-size histogram, in exhaustive-verify mode so
+    every edge is provably J >= t and the recursive-CTE oracle reproduces
+    the exact component structure."""
     docs = _docs_as_corpus(spark, sf_dir)
-    result = DedupPipeline(spark, DOC_DEDUP_CONFIG, detectors=("minhash",)).run(docs)
+    result = DedupPipeline(
+        spark, DOC_CLUSTER_CONFIG, detectors=("minhash",), collect_metrics=False
+    ).run(docs)
     return (
         result.clusters.groupBy("component")
         .agg(F.count("*").alias("cluster_size"))
@@ -340,9 +407,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_pairs": q_simhash_pairs,
         "substring_dedup_pairs": q_substring_pairs,
         "greedy_match_documents": q_greedy_match_documents,
+        "greedy_match_rank_oracle": q_greedy_match_rank,
         "ann_hyperplane": q_ann_hyperplane,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
     }
+
+
+# word-3-shingle sets in DuckDB, matching minhash.shingle_hashes word mode
+# (degenerate docs with < 3 tokens collapse to one whole-text shingle)
+_SHINGLE_CTES = r"""
+tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                               FOR i IN range(1, len(t)-1)]) END s
+       FROM tk),
+inv AS (SELECT doc_id, unnest(s) tok FROM sh),
+cand AS (SELECT a.doc_id id_a, b.doc_id id_b FROM inv a JOIN inv b USING (tok)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+jacc AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) i,
+                len(sa.s) la, len(sb.s) lb
+         FROM cand JOIN sh sa ON sa.doc_id = id_a
+                   JOIN sh sb ON sb.doc_id = id_b)
+"""
+
+
+def _ann_oracle_sql(dim: int = 64, n_planes: int = 16, bands: int = 2, seed: int = 42, k: int = 5) -> str:
+    """Reproduce the hyperplane signatures with inlined plane literals.
+
+    ``repr(float)`` round-trips exactly, so DuckDB parses the identical
+    doubles; the dot product is written as a left-associated sum to match
+    Spark's sequential ``aggregate`` fold bit-for-bit."""
+    from fuzzy_matching_spark.operators.embeddings import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot(p):
+        return "(" + " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({p[i]!r})" for i in range(dim)
+        ) + ")"
+
+    bits = [f"(CASE WHEN {dot(p)} > 0 THEN 1 ELSE 0 END)" for p in planes]
+    width = n_planes // bands
+    band_exprs = []
+    for b in range(bands):
+        expr = "0"
+        for j in range(width):
+            expr = f"({expr} * 2 + {bits[b * width + j]})"
+        band_exprs.append(expr)
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, bk{b} AS bkey FROM sig" for b in range(bands)
+    )
+    band_cols = ", ".join(f"{e} AS bk{b}" for b, e in enumerate(band_exprs))
+    return f"""
+        WITH sig AS (SELECT vec_id, embedding, {band_cols} FROM embeddings),
+        bandtab AS ({band_rows}),
+        cand AS (SELECT DISTINCT a.vec_id query_id, b.vec_id neighbor_id
+                 FROM bandtab a JOIN bandtab b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+        scored AS (SELECT query_id, neighbor_id,
+                     list_cosine_similarity(qa.embedding::DOUBLE[], nb.embedding::DOUBLE[]) cos
+                   FROM cand JOIN embeddings qa ON qa.vec_id = query_id
+                             JOIN embeddings nb ON nb.vec_id = neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -487,5 +618,74 @@ def oracle_sql() -> dict[str, str]:
                    sum(o_totalprice::DECIMAL(18,2))::double AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "minhash_dedup_pairs": f"""
+            WITH {_SHINGLE_CTES}
+            SELECT id_a, id_b, round(i * 1.0 / (la + lb - i), 6) AS sim
+            FROM jacc WHERE i * 1.0 / (la + lb - i) >= 0.7
+        """,
+        "simhash_dedup_pairs": r"""
+            WITH tok AS (SELECT doc_id, tok, count(*) c FROM
+                           (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) tok
+                            FROM documents WHERE length(trim(text)) > 0)
+                         GROUP BY 1, 2),
+            h AS (SELECT doc_id, c, ('0x' || substr(md5('42:' || tok), 1, 16))::UBIGINT hv
+                  FROM tok),
+            bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN c ELSE -c END) v
+                     FROM h, (SELECT unnest(range(64)) b) t(b) GROUP BY 1, 2),
+            sig0 AS (SELECT doc_id,
+                            sum(CASE WHEN v > 0 THEN (1::UBIGINT << b::INT)
+                                     ELSE 0::UBIGINT END)::UBIGINT s
+                     FROM bits GROUP BY 1),
+            sig AS (SELECT d.doc_id, coalesce(sig0.s, 0::UBIGINT) s
+                    FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id)
+            SELECT a.doc_id id_a, b.doc_id id_b, bit_count(xor(a.s, b.s))::INT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "substring_dedup_pairs": r"""
+            WITH w AS (SELECT doc_id, i - 1 AS pos, md5(substr(text, i::INT, 32)) d FROM
+                         (SELECT doc_id, text, unnest(range(1, length(text) - 30)) i
+                          FROM documents WHERE length(text) >= 32)),
+            q AS (SELECT doc_id, pos, d, (('0x' || substr(d, 1, 2))::INT % 8 = 0) AS isa
+                  FROM w),
+            anch0 AS (SELECT doc_id, pos, d FROM q WHERE isa),
+            fallback AS (SELECT doc_id, pos, d FROM q WHERE pos = 0
+                         AND doc_id NOT IN (SELECT doc_id FROM anch0)),
+            anch AS (SELECT * FROM anch0 UNION ALL SELECT * FROM fallback),
+            counts AS (SELECT d, count(*) n FROM anch GROUP BY 1),
+            kept AS (SELECT anch.* FROM anch JOIN counts USING (d)
+                     WHERE n > 1 AND n <= 200),
+            pairs AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+                      FROM kept a JOIN kept b USING (d) WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, TRUE AS exact_substring FROM pairs
+        """,
+        "greedy_match_rank_oracle": """
+            WITH d1 AS (SELECT doc_id, lang,
+                               row_number() OVER (PARTITION BY lang
+                                                  ORDER BY CAST(doc_id AS VARCHAR)) rn
+                        FROM documents WHERE doc_id % 2 = 0),
+                 d2 AS (SELECT doc_id, lang,
+                               row_number() OVER (PARTITION BY lang
+                                                  ORDER BY CAST(doc_id AS VARCHAR)) rn
+                        FROM documents WHERE doc_id % 2 = 1)
+            SELECT d1.doc_id AS orig_doc_id, d2.doc_id AS var_doc_id, 1.0 AS sim
+            FROM d1 JOIN d2 USING (lang, rn)
+        """,
+        "ann_hyperplane": _ann_oracle_sql(),
+        "dedup_cluster_sizes": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            edges AS (SELECT id_a, id_b FROM jacc WHERE i * 1.0 / (la + lb - i) >= 0.7
+                      UNION SELECT a.doc_id, b.doc_id FROM documents a
+                            JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id),
+            sym AS (SELECT id_a s, id_b t FROM edges UNION SELECT id_b, id_a FROM edges),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.id
+            ),
+            labels AS (SELECT id, min(comp) comp FROM reach GROUP BY 1),
+            sizes AS (SELECT comp, count(*) cluster_size FROM labels GROUP BY 1)
+            SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
         """,
     }
