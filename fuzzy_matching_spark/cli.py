@@ -74,9 +74,87 @@ def parse_name_fields(
     return out
 
 
+def _demo_datasets(kind: str):
+    """Canned demo inputs (reference ``cli/demo.py:252-733``): small personal /
+    business / transliteration examples with typos, suffixes and RU<->EN
+    variants.  The reference drives these through an interactive menu; a
+    cluster tool cannot block on stdin, so the Spark port runs them
+    non-interactively and prints the match tables."""
+    if kind == "personal":
+        d1 = [
+            {"id": "1", "Фамилия": "Иванов", "Имя": "Александр", "email": "ivanov@example.ru"},
+            {"id": "2", "Фамилия": "Петров", "Имя": "Дмитрий", "email": "petrov@example.ru"},
+            {"id": "3", "Фамилия": "Сидорова", "Имя": "Елена", "email": "sidorova@example.ru"},
+        ]
+        d2 = [
+            {"id": "a", "Фамилия": "Иваноов", "Имя": "Александр", "email": "ivanov@example.ru"},
+            {"id": "b", "Фамилия": "Петров", "Имя": "Дмитри", "email": "petrov@mail.ru"},
+            {"id": "c", "Фамилия": "Кузнецов", "Имя": "Сергей", "email": "kuznetsov@example.ru"},
+        ]
+        fields = [
+            MatchFieldConfig("Фамилия", 0.5),
+            MatchFieldConfig("Имя", 0.4),
+            MatchFieldConfig("email", 0.1),
+        ]
+        return d1, d2, MatchConfig(fields=fields, threshold=0.7, block_field="Фамилия")
+    if kind == "translit":
+        d1 = [
+            {"id": "ru_1", "Фамилия": "Иванов", "Имя": "Александр", "email": "ivanov@example.ru"},
+            {"id": "ru_2", "Фамилия": "Петров", "Имя": "Дмитрий", "email": "petrov@example.ru"},
+        ]
+        d2 = [
+            {"id": "en_1", "Фамилия": "Ivanov", "Имя": "Aleksandr", "email": "ivanov@example.ru"},
+            {"id": "en_2", "Фамилия": "Petrov", "Имя": "Dmitrii", "email": "petrov@example.ru"},
+        ]
+        fields = [
+            MatchFieldConfig("Фамилия", 0.5, transliterate=True),
+            MatchFieldConfig("Имя", 0.4, transliterate=True),
+            MatchFieldConfig("email", 0.1),
+        ]
+        return d1, d2, MatchConfig(
+            fields=fields, threshold=0.6,
+            transliteration=TransliterationConfig(enabled=True, standard="Passport"),
+        )
+    # business (reference demo.py:373-493): org names with suffix/punct noise
+    d1 = [
+        {"id": "o1", "name": 'ООО "Ромашка"', "inn": "7701234567"},
+        {"id": "o2", "name": "АО ТехноСервис", "inn": "7812345678"},
+    ]
+    d2 = [
+        {"id": "x1", "name": "ООО Ромашка", "inn": "7701234567"},
+        {"id": "x2", "name": 'АО "Техно-Сервис"', "inn": "7812345678"},
+    ]
+    fields = [MatchFieldConfig("name", 0.7), MatchFieldConfig("inn", 0.3)]
+    return d1, d2, MatchConfig(fields=fields, threshold=0.6)
+
+
+def run_demo(spark, kind: str) -> int:
+    """Run one (or all) canned demos end-to-end and print the results."""
+    from fuzzy_matching_spark.operators.greedy_match import SparkMatcher
+
+    kinds = ["personal", "business", "translit"] if kind == "all" else [kind]
+    for k in kinds:
+        d1, d2, config = _demo_datasets(k)
+        matches, consolidated = SparkMatcher(config).match_and_consolidate(
+            spark.createDataFrame(d1), spark.createDataFrame(d2)
+        )
+        rows = matches.collect()
+        print(f"--- demo: {k} ---")
+        for r in rows:
+            o, v = r["Оригинал"], r["Вариант"]
+            print(f"  {dict(o.asDict())} <~> {dict(v.asDict())}  sim={r['Схожесть']:.3f}")
+        print(f"  matches: {len(rows)}, consolidated: {consolidated.count()}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fuzzy-matching-spark")
-    ap.add_argument("--mode", choices=["match", "transliterate", "generate"], required=True)
+    ap.add_argument(
+        "--mode", choices=["match", "transliterate", "generate", "demo"], required=True
+    )
+    ap.add_argument(
+        "--demo", default="all", choices=["personal", "business", "translit", "all"]
+    )
     ap.add_argument("--input1")
     ap.add_argument("--input2")
     ap.add_argument("--match-fields", dest="match_fields")
@@ -102,6 +180,9 @@ def main(argv: list[str] | None = None) -> int:
     from fuzzy_matching_spark.pipeline.session import build_session
 
     spark = build_session(master=args.master, app_name=f"fms-cli-{args.mode}")
+
+    if args.mode == "demo":
+        return run_demo(spark, args.demo)
 
     match_fields = parse_match_fields(args.match_fields)
     name_fields = parse_name_fields(args.name_fields, match_fields if args.match_fields else None)

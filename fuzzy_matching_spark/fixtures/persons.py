@@ -30,7 +30,38 @@ from __future__ import annotations
 
 import random
 
-__all__ = ["generate_person_pair", "DEFAULT_PROBABILITIES"]
+__all__ = ["generate_person_pair", "DEFAULT_PROBABILITIES", "normalize_probabilities"]
+
+# Back-compat aliases for the reference's legacy probability keys
+# (``utils/data_generator.py:107-126``, G9): old key -> canonical key,
+# applied in the reference's order (later aliases win over earlier ones).
+LEGACY_PROBABILITY_ALIASES = (
+    ("double_letter", "double_char_probability"),
+    ("typo_probability", "double_char_probability"),
+    ("change_letter", "change_char_probability"),
+    ("swap", "change_char_probability"),  # 'swap' wins over 'change_letter'
+    ("character_probability", "change_char_probability"),
+    ("change_name", "change_name_probability"),
+    ("change_name_domain", "change_domain_probability"),
+    ("double_number", "double_number_probability"),
+    ("suffix_addition", "suffix_probability"),
+)
+
+
+def normalize_probabilities(probabilities: dict | None) -> dict:
+    """Map legacy keys onto canonical ones (reference G9 semantics).
+
+    The reference pops each legacy key into the canonical name, with
+    ``swap`` taking precedence over ``change_letter`` when both appear.
+    """
+    probs = dict(probabilities or {})
+    if "change_letter" in probs and "swap" in probs:
+        probs.pop("change_letter")  # reference prefers 'swap'
+    for old, new in LEGACY_PROBABILITY_ALIASES:
+        if old in probs:
+            probs[new] = probs.pop(old)
+    return probs
+
 
 DEFAULT_PROBABILITIES = {
     "double_char_probability": 0.3,
@@ -130,7 +161,7 @@ def generate_person_pair(
     rng = random.Random(seed)
     probs = dict(DEFAULT_PROBABILITIES)
     if probabilities:
-        probs.update(probabilities)
+        probs.update(normalize_probabilities(probabilities))
 
     ru = language == "ru"
     fields = (

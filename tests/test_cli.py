@@ -55,3 +55,13 @@ def test_cli_match_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "matches: 1, consolidated: 2" in proc.stdout
+
+
+def test_demo_mode_runs_all(capsys, spark):
+    from fuzzy_matching_spark.cli import run_demo
+
+    assert run_demo(spark, "all") == 0
+    out = capsys.readouterr().out
+    for kind in ("personal", "business", "translit"):
+        assert f"--- demo: {kind} ---" in out
+    assert "matches: 2" in out
