@@ -49,10 +49,18 @@ def connected_components(
     dominated the measured scaling efficiency).  Above the threshold the
     checkpointed hash-min loop runs; both paths label every vertex with the
     component's minimum id, so the choice is invisible to callers.
+
+    Duplicate edges are tolerated — union-find ignores them and the
+    distributed path dedups inside ``sym`` — so callers need not pay a
+    ``distinct`` shuffle first.  (The size probe is a plain ``count``, not
+    ``limit().collect()``: CollectLimit executes partitions incrementally
+    across several sequential jobs when the limit exceeds the row count,
+    which serializes the whole edge computation.)
     """
     n_edges = edges.count()
     if n_edges <= driver_threshold:
-        return _driver_union_find(edges, id_a, id_b)
+        rows = edges.select(id_a, id_b).collect()
+        return _driver_union_find_rows(rows, edges.sparkSession)
 
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -104,10 +112,9 @@ def connected_components(
     return labels
 
 
-def _driver_union_find(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
-    """Small-graph path: collect ids, union-find with path halving, min-id
-    relabel.  One collect + one createDataFrame; no iterative jobs."""
-    rows = edges.select(id_a, id_b).collect()
+def _driver_union_find_rows(rows, spark) -> DataFrame:
+    """Small-graph path: union-find with path halving over collected edge
+    rows, min-id relabel.  One createDataFrame; no iterative jobs."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -140,4 +147,4 @@ def _driver_union_find(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
     )
     # pandas input goes driver->JVM as Arrow batches; a list of tuples
     # would be pickled row-by-row
-    return edges.sparkSession.createDataFrame(out, schema="id long, component long")
+    return spark.createDataFrame(out, schema="id long, component long")

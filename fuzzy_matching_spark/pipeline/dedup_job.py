@@ -232,11 +232,17 @@ class DedupPipeline:
         # (min doc_id of each sha256 class): byte-identical copies already
         # form a star through exact_edges, so running MinHash/SimHash over
         # every copy would only re-discover those components while inflating
-        # the LSH bucket joins quadratically in the copy count.
-        rep_docs = docs.join(
-            docs.groupBy("content_sha256").agg(F.min("doc_id").alias("doc_id")),
-            ["content_sha256", "doc_id"],
-        ).persist()
+        # the LSH bucket joins quadratically in the copy count.  One window
+        # shuffle (vs the groupBy+join formulation's two).
+        from pyspark.sql.window import Window
+
+        w_sha = Window.partitionBy("content_sha256").orderBy("doc_id")
+        rep_docs = (
+            docs.withColumn("_rn", F.row_number().over(w_sha))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist()
+        )
         self._temp_persists.append(rep_docs)
         if self.collect_metrics:
             self._metrics.append(("ingest", "distinct_contents", float(rep_docs.count())))
@@ -255,7 +261,9 @@ class DedupPipeline:
         edges = self._stage("edges", lambda: edges)
         edges = self._count_metric("edges", "total_edges", edges, keep=True)
 
-        pair_edges = edges.select("id_a", "id_b").distinct()
+        # no distinct here: connected_components tolerates duplicate edges
+        # (union-find ignores them; the distributed path dedups in `sym`)
+        pair_edges = edges.select("id_a", "id_b")
         labels = connected_components(pair_edges)
         clusters = (
             docs.select("doc_id")

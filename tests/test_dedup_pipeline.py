@@ -194,3 +194,19 @@ def test_checkpoint_resume(spark, corpus_df, tmp_path):
     assert c1 == c2
     resumed = [m for m in p2._metrics if m[1] == "resumed_from_checkpoint"]
     assert resumed, "second run must resume from stage checkpoints"
+
+
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_tolerates_duplicate_edges(spark, driver_threshold):
+    """Callers skip the distinct shuffle; duplicate/reversed edges must not
+    change labels on either path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (2, 3), (2, 3), (10, 11), (10, 11)],
+        schema="id_a long, id_b long",
+    )
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=driver_threshold).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
