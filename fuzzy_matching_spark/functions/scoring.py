@@ -34,6 +34,9 @@ __all__ = [
     "score_pairs",
     "scorer_udf",
     "config_score_matrix",
+    "transform_value_udf",
+    "make_simple_pair_scorer",
+    "make_general_pair_scorer",
     "VECTORIZED",
 ]
 
@@ -98,6 +101,145 @@ def scorer_udf(algorithm: str):
         return pd.Series(res)
 
     return _score
+
+
+# ---------------------------------------------------------------------------
+# pair-join scorers (the distributed matcher's scoring stage)
+# ---------------------------------------------------------------------------
+
+
+def transform_value_udf(algorithm: str):
+    """Pandas UDF: per-record scorer *pre-transform* so pair scoring reduces
+    to plain ``ratio`` on transformed values.
+
+    ``ratio`` -> lowercase; ``token_sort_ratio`` -> lowercase, whitespace
+    tokenize, sort, single-space join — exactly the scalar kernel's
+    ``fn(s.lower())`` preprocessing, done once per record instead of once
+    per pair (and its length gives the exact pruning bound)."""
+    from pyspark.sql.functions import pandas_udf
+
+    token_sort = algorithm == "token_sort_ratio"
+
+    @pandas_udf("string")
+    def _transform(v: pd.Series) -> pd.Series:
+        vals = v.fillna("").astype(str)
+        if token_sort:
+            return vals.map(lambda s: " ".join(sorted(s.lower().split())))
+        return vals.str.lower()
+
+    return _transform
+
+
+def _dedup_pair_scores(a_vals, b_vals, pairs_fn, matrix_fn=None) -> np.ndarray:
+    """Score aligned value pairs, collapsing duplicate values/combinations.
+
+    When the batch is near-rectangular (|uniq_a| * |uniq_b| comparable to
+    the row count — the normal case for sort-merge-join output, which
+    emits each left against consecutive rights), the all-pairs *matrix*
+    kernel is used: it amortizes the pattern tables across every right,
+    ~10-40x cheaper per score than pairwise mode.  Sparse batches fall
+    back to scoring distinct (a, b) combinations pairwise."""
+    n = len(a_vals)
+    ca, ua = pd.factorize(pd.Series(a_vals, dtype=object))
+    cb, ub = pd.factorize(pd.Series(b_vals, dtype=object))
+    if matrix_fn is not None and len(ua) * len(ub) <= max(4 * n, 65536):
+        m = np.asarray(matrix_fn(list(ua), list(ub)), dtype=np.float64)
+        return m[ca, cb]
+    key = ca.astype(np.int64) * len(ub) + cb
+    kcodes, kuniq = pd.factorize(key)
+    ka = [ua[k // len(ub)] for k in kuniq]
+    kb = [ub[k % len(ub)] for k in kuniq]
+    scored = pairs_fn(ka, kb)
+    return np.asarray(scored, dtype=np.float64)[kcodes]
+
+
+def make_simple_pair_scorer(weights: list):
+    """Pandas UDF scoring PRE-TRANSFORMED value pairs with plain ``ratio``.
+
+    Argument order: (a_f1, b_f1, a_f2, b_f2, ...) matching ``weights``.
+    Float-identical to the scalar weighted mean: per-field
+    ``(200*lcs/total)/100`` (empty operands 0), accumulated in field order,
+    divided by the weight sum."""
+    from pyspark.sql.functions import pandas_udf
+
+    total_w = sum(weights)
+
+    @pandas_udf("double")
+    def _score(*cols: pd.Series) -> pd.Series:
+        n = len(cols[0])
+        acc = np.zeros(n, dtype=np.float64)
+        for i, w in enumerate(weights):
+            a = cols[2 * i].fillna("").astype(str).tolist()
+            b = cols[2 * i + 1].fillna("").astype(str).tolist()
+            s = _dedup_pair_scores(a, b, batchlcs.ratio_pairs, batchlcs.ratio_matrix) / 100.0
+            empty = np.array([not x for x in a]) | np.array([not x for x in b])
+            s[empty] = 0.0
+            acc += s * w
+        if total_w <= 0:
+            return pd.Series(np.zeros(n))
+        return pd.Series(acc / total_w)
+
+    # asNondeterministic: the score IS deterministic, but without this the
+    # optimizer pushes the >= threshold filter (which references the UDF
+    # column) below the load-balancing repartition exchange and DUPLICATES
+    # the UDF — the expensive pass then runs inside the skewed join stage,
+    # defeating the rebalance (observed: 2x Python work, 1 hot task)
+    return _score.asNondeterministic()
+
+
+def make_general_pair_scorer(config):
+    """Pandas UDF with the full per-field semantics (any algorithm,
+    transliteration) over ORIGINAL value pairs — the fallback when the
+    pre-transform fast path doesn't apply.  Unique (a, b) combinations are
+    scored once."""
+    from pyspark.sql.functions import pandas_udf
+
+    from fuzzy_matching_spark.kernel import pairscore
+
+    fields = config.fields
+    total_w = sum(fc.weight for fc in fields)
+
+    @pandas_udf("double")
+    def _score(*cols: pd.Series) -> pd.Series:
+        n = len(cols[0])
+        acc = np.zeros(n, dtype=np.float64)
+        for i, fc in enumerate(fields):
+            a = cols[2 * i].fillna("").astype(str).tolist()
+            b = cols[2 * i + 1].fillna("").astype(str).tolist()
+
+            if fc.transliterate and config.transliteration.enabled:
+                def field_fn(ua, ub, fc=fc):
+                    out = []
+                    for v1, v2 in zip(ua, ub):
+                        t1, t2, _ = pairscore.process_transliteration(v1, v2, config)
+                        out.append(
+                            100.0
+                            * pairscore.get_similarity(
+                                t1, t2, fc.fuzzy_algorithm, config.fuzzy_algorithm
+                            )
+                        )
+                    return out
+                s = _dedup_pair_scores(a, b, field_fn) / 100.0
+            else:
+                algo = (
+                    fc.fuzzy_algorithm
+                    if fc.fuzzy_algorithm is not None
+                    else config.fuzzy_algorithm
+                )
+
+                def field_fn(ua, ub, algo=algo):
+                    la = [v.lower() for v in ua]
+                    lb = [v.lower() for v in ub]
+                    return score_pairs(algo.value, la, lb)
+                s = _dedup_pair_scores(a, b, field_fn) / 100.0
+                empty = np.array([not x for x in a]) | np.array([not x for x in b])
+                s[empty] = 0.0
+            acc += s * fc.weight
+        if total_w <= 0:
+            return pd.Series(np.zeros(n))
+        return pd.Series(acc / total_w)
+
+    return _score.asNondeterministic()  # see make_simple_pair_scorer
 
 
 # ---------------------------------------------------------------------------

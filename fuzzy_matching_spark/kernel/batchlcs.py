@@ -83,7 +83,7 @@ def _encode_against(vocab, flat, offs, lens, sentinel):
     """Right-side codes padded to (n, maxlen) with ``sentinel``."""
     n = lens.size
     maxr = int(lens.max()) if n else 0
-    rc = np.full((n, maxr), sentinel, dtype=np.int64)
+    rc = np.full((n, maxr), sentinel, dtype=np.int32)
     if flat.size:
         idx = np.searchsorted(vocab, flat)
         safe = np.minimum(idx, max(vocab.size - 1, 0))
@@ -109,30 +109,41 @@ def _row_masks(llens, W):
     return mask
 
 
-def _step_multiword(Vs, pm):
-    """One recurrence step with carry/borrow over the last (word) axis."""
-    u = Vs & pm
-    W = Vs.shape[-1]
-    add = np.empty_like(Vs)
-    sub = np.empty_like(Vs)
-    carry = np.zeros(Vs.shape[:-1], dtype=np.uint64)
-    borrow = np.zeros(Vs.shape[:-1], dtype=np.uint64)
+def _step_multiword(Vw, pm_list):
+    """One recurrence step over per-word contiguous arrays.
+
+    ``Vw``/``pm_list`` are length-W lists of same-shaped uint64 arrays
+    (word w of every pair's state / pattern mask).  Keeping each word a
+    contiguous 2-D array (instead of slicing the last axis of a 3-D
+    array) is what makes the multi-word path faster than the Python
+    big-int scalar loop — strided word-slices were ~2x slower.
+    """
+    W = len(Vw)
+    carry = None
+    borrow = None
+    adds = []
+    subs = []
     for w in range(W):
-        vw = Vs[..., w]
-        uw = u[..., w]
-        s = vw + uw
-        c1 = s < vw
-        s2 = s + carry
-        c2 = s2 < s
-        add[..., w] = s2
-        carry = (c1 | c2).astype(np.uint64)
-        d = vw - uw
-        b1 = vw < uw
-        d2 = d - borrow
-        b2 = d < borrow
-        sub[..., w] = d2
-        borrow = (b1 | b2).astype(np.uint64)
-    return add | sub
+        v = Vw[w]
+        u = v & pm_list[w]
+        s = v + u
+        d = v - u
+        if carry is None:
+            c = s < v
+            b = v < u
+        else:
+            s2 = s + carry
+            c = (s < v) | (s2 < s)
+            s = s2
+            d2 = d - borrow
+            b = (v < u) | (d < borrow)
+            d = d2
+        adds.append(s)
+        subs.append(d)
+        if w + 1 < W:
+            carry = c.astype(np.uint64)
+            borrow = b.astype(np.uint64)
+    return [a | s for a, s in zip(adds, subs)]
 
 
 def lcs_matrix(left: list, right: list) -> np.ndarray:
@@ -156,30 +167,82 @@ def lcs_matrix(left: list, right: list) -> np.ndarray:
     rc = _encode_against(vocab, rflat, roffs, rlens, V)
     rowmask = _row_masks(llens, W)
 
-    if W == 1:
-        Vv = np.broadcast_to(rowmask[:, :1], (nl, nr)).copy()
-        PM1 = PM[:, :, 0]
-        for t in range(maxr):
-            codes_t = rc[:, t]
-            pm = PM1[:, codes_t]
-            u = Vv & pm
-            Vv = (Vv + u) | (Vv - u)
-        ones = _popcount(Vv & rowmask[:, :1])
-    else:
-        Vs = np.broadcast_to(rowmask[:, None, :], (nl, nr, W)).copy()
-        for t in range(maxr):
-            pm = PM[:, rc[:, t], :]
-            Vs = _step_multiword(Vs, pm)
-        ones = _popcount(Vs & rowmask[:, None, :]).sum(axis=2)
-    return llens[:, None] - ones.astype(np.int64)
+    # process rights longest-first so the active column set is a prefix
+    # that shrinks as t passes each right's length; rights are additionally
+    # handled in bounded column chunks so the per-chunk state arrays stay
+    # small (a few MB) — chunks of similar length also waste no steps, and
+    # small working sets keep worker memory arenas reusable (page-fault-
+    # expensive hosts charge heavily for footprint growth)
+    order = np.argsort(-rlens, kind="stable")
+    rc = rc[order]
+    rlens_sorted = rlens[order]
+    chunk_cols = max(256, (1 << 21) // max(1, nl * W * 8))  # ~2 MB of state
+
+    PM1 = np.ascontiguousarray(PM[:, :, 0]) if W == 1 else None
+    PMw = [np.ascontiguousarray(PM[:, :, w]) for w in range(W)] if W > 1 else None
+    ones = np.empty((nl, nr), dtype=np.uint64)
+
+    for lo in range(0, nr, chunk_cols):
+        hi = min(nr, lo + chunk_cols)
+        rcc = rc[lo:hi]
+        rlc = rlens_sorted[lo:hi]
+        cmax = int(rlc.max()) if rlc.size else 0
+        if W == 1:
+            Vv = np.broadcast_to(rowmask[:, :1], (nl, hi - lo)).copy()
+            for t in range(cmax):
+                act = int(np.searchsorted(-rlc, -t))
+                if act == 0:
+                    break
+                pm = PM1[:, rcc[:act, t]]
+                v = Vv[:, :act]
+                u = v & pm
+                Vv[:, :act] = (v + u) | (v - u)
+            ones[:, lo:hi] = _popcount(Vv & rowmask[:, :1])
+        else:
+            Vw = [
+                np.broadcast_to(rowmask[:, w : w + 1], (nl, hi - lo)).copy()
+                for w in range(W)
+            ]
+            for t in range(cmax):
+                act = int(np.searchsorted(-rlc, -t))
+                if act == 0:
+                    break
+                codes_t = rcc[:act, t]
+                pm_list = [p[:, codes_t] for p in PMw]
+                stepped = _step_multiword([v[:, :act] for v in Vw], pm_list)
+                for w in range(W):
+                    Vw[w][:, :act] = stepped[w]
+            ones[:, lo:hi] = sum(
+                _popcount(Vw[w] & rowmask[:, w : w + 1]) for w in range(W)
+            )
+    out = llens[:, None] - ones.astype(np.int64)
+    # undo the right-length sort
+    inv = np.empty(nr, dtype=np.int64)
+    inv[order] = np.arange(nr)
+    return out[:, inv]
+
+
+_PAIR_CHUNK = 1024
 
 
 def lcs_pairs(left: list, right: list) -> np.ndarray:
-    """Aligned pairwise LCS lengths: int64 vector of len(left) == len(right)."""
+    """Aligned pairwise LCS lengths: int64 vector of len(left) == len(right).
+
+    Large inputs are processed in fixed-size chunks: peak working set
+    (pattern tables + code matrices) stays a few MB regardless of batch
+    size, so worker memory arenas are reused instead of growing — on
+    hosts where first-touch page faults are expensive, allocation
+    footprint, not arithmetic, dominated large cold batches."""
     n = len(left)
     assert len(right) == n
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
+        return out
+    if n > _PAIR_CHUNK:
+        for lo in range(0, n, _PAIR_CHUNK):
+            out[lo : lo + _PAIR_CHUNK] = lcs_pairs(
+                left[lo : lo + _PAIR_CHUNK], right[lo : lo + _PAIR_CHUNK]
+            )
         return out
     lflat, loffs = _codepoints(left)
     rflat, roffs = _codepoints(right)
@@ -199,18 +262,19 @@ def lcs_pairs(left: list, right: list) -> np.ndarray:
 
     if W == 1:
         Vv = rowmask[:, 0].copy()
-        PM1 = PM[:, :, 0]
+        PM1 = np.ascontiguousarray(PM[:, :, 0])
         for t in range(maxr):
             pm = PM1[rows, rc[:, t]]
             u = Vv & pm
             Vv = (Vv + u) | (Vv - u)
         ones = _popcount(Vv & rowmask[:, 0])
     else:
-        Vs = rowmask.copy()
+        Vw = [rowmask[:, w].copy() for w in range(W)]
+        PMw = [np.ascontiguousarray(PM[:, :, w]) for w in range(W)]
         for t in range(maxr):
-            pm = PM[rows, rc[:, t], :]
-            Vs = _step_multiword(Vs, pm)
-        ones = _popcount(Vs & rowmask).sum(axis=1)
+            pm_list = [p[rows, rc[:, t]] for p in PMw]
+            Vw = _step_multiword(Vw, pm_list)
+        ones = sum(_popcount(Vw[w] & rowmask[:, w]) for w in range(W))
     return llens - ones.astype(np.int64)
 
 

@@ -1,31 +1,36 @@
-"""Distributed reference-parity matcher: blocking join + per-block greedy 1:1.
+"""Distributed reference-parity matcher: blocked pair scoring + greedy 1:1.
 
 The reference's flagship operator chain (SURVEY.md §2.3 J1-J3, §3.1):
 first-char blocking, block-key *intersection*, and a greedy 1:1 best-match
 assignment that is order-dependent (left records in input order, strict ``>``
-argmax, right-exclusivity).  That sequential dependency confines the greedy
-loop to one block — blocks are independent — so the Spark mapping is:
+argmax, right-exclusivity).  The Spark mapping separates the parallel part
+from the sequential part:
 
-* derive the block key as a Catalyst expression (``functions.text.block_key``)
-* ``df1.groupby(key).cogroup(df2.groupby(key)).applyInPandas(greedy)`` —
-  ONE shuffle per side, Arrow-batched, parallel across blocks, sequential
-  (as semantics demand) within a block.  Cogroup keys present on only one
-  side produce no pairs, which *is* the reference's intersection rule
-  (``data_matcher.py:438-441``).
+* derive the block key as a Catalyst expression (``functions.text.block_key``);
+  the block equi-join *is* the reference's intersection rule
+  (``data_matcher.py:438-441``) — keys on one side only produce no pairs.
+* **scoring stage** — block equi-join + Arrow-batched pairwise LCS kernel
+  (``functions/scoring.py``), with per-record value pre-transforms and a
+  lossless JVM length-bound prune.  Fully parallel and AQE-skew-splittable:
+  a hot block key ('S' holds ~10% of a real corpus) is split across tasks
+  instead of serializing one cogroup task, which is what makes this shape
+  survive a 100x scale-up.
+* **assignment stage** — only the >= threshold edges (with block-local
+  ranks) are shuffled to a per-block greedy that replays the reference's
+  sequential argmax.  Sequential work is O(edges), not O(block^2).
 * consolidation is pure DataFrame algebra: cleanliness scores as JVM column
   arithmetic, winner pick via ``when()``, unmatched re-entry via LEFT ANTI
   joins (``data_matcher.py:447-499``).
 
-Determinism: input order is pinned by an explicit ``_fm_seq`` (attached via
-``zipWithIndex`` at ingest); within a block records are sorted by
-(sort keys..., _fm_seq), which equals the reference's global stable sort
-restricted to the block.  Output is therefore independent of parallelism
-(local[8] == local[32]; SURVEY.md §5.2.4).
+Determinism: input order is pinned by ``_fm_seq``; within a block the
+processing rank is row_number over (sort keys..., _fm_seq), which equals
+the reference's global stable sort restricted to the block.  Output is
+therefore independent of parallelism (local[8] == local[32]; SURVEY.md
+§5.2.4).
 
-Scale note: first-char blocking gives at most a few hundred blocks — fine
-for the reference's person-record workloads, but a single hot block would
-cap parallelism at 100 TB.  The scale path swaps this candidate generator
-for MinHash/LSH (``operators/minhash.py``) while keeping the same verify +
+Scale note: first-char blocking gives at most a few hundred blocks — the
+reference's design.  The scale path swaps this candidate generator for
+MinHash/LSH (``operators/minhash.py``) while keeping the same verify +
 consolidate algebra.
 """
 
@@ -42,6 +47,42 @@ __all__ = ["SparkMatcher", "attach_seq"]
 
 SEQ = "_fm_seq"
 BK = "_fm_bk"
+
+
+def _greedy_over_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference-order greedy 1:1 assignment over one block's edge list.
+
+    Rows are (block, left rank, right rank, seqs, sim) with sim already
+    >= threshold and > 0.  Processing lefts in rank order and scanning
+    each left's candidates by (sim desc, right rank asc) reproduces the
+    reference's argmax semantics exactly: strict ``>`` keeps the earliest
+    right at equal scores, and a right is consumed on first assignment.
+    """
+    if pdf.empty:
+        return pd.DataFrame({"left_seq": [], "right_seq": [], "sim": []}).astype(
+            {"left_seq": "int64", "right_seq": "int64", "sim": "float64"}
+        )
+    pdf = pdf.sort_values(
+        ["_lr", "sim", "_rr"], ascending=[True, False, True], kind="stable"
+    )
+    taken: set[int] = set()
+    out_l, out_r, out_s = [], [], []
+    cur = None
+    assigned = False
+    for lr, rr, ls, rs, sim in zip(
+        pdf["_lr"], pdf["_rr"], pdf["left_seq"], pdf["right_seq"], pdf["sim"]
+    ):
+        if lr != cur:
+            cur = lr
+            assigned = False
+        if assigned or rr in taken:
+            continue
+        taken.add(rr)
+        assigned = True
+        out_l.append(int(ls))
+        out_r.append(int(rs))
+        out_s.append(float(sim))
+    return pd.DataFrame({"left_seq": out_l, "right_seq": out_r, "sim": out_s})
 
 
 def attach_seq(df: DataFrame) -> DataFrame:
@@ -92,62 +133,130 @@ class SparkMatcher:
             key = F.lit("ALL")
         return out.withColumn(BK, key)
 
-    def _greedy_fn(self):
-        config = self.config
-        sort_keys = (
-            [config.sort_field]
-            if config.sort_field
-            else [fc.field for fc in config.fields]
-        )
-        sort_before = config.sort_before_match
-        threshold = config.threshold
-
-        def greedy(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-
-            from fuzzy_matching_spark.functions import scoring
-
-            if left.empty or right.empty:
-                return pd.DataFrame({"left_seq": [], "right_seq": [], "sim": []}).astype(
-                    {"left_seq": "int64", "right_seq": "int64", "sim": "float64"}
-                )
-            order_cols = ([*sort_keys, SEQ] if sort_before else [SEQ])
-            left = left.sort_values([c for c in order_cols if c in left.columns], kind="stable")
-            right = right.sort_values([c for c in order_cols if c in right.columns], kind="stable")
-            # Whole-block score matrix, vectorized (batched bit-parallel LCS);
-            # then the sequential argmax assignment the reference semantics
-            # demand (left order, strict >, right exclusivity).  Same output
-            # as per-pair scoring — the matrix is just computed up front.
-            M = scoring.config_score_matrix(left, right, config)
-            lseq = left[SEQ].to_numpy()
-            rseq = right[SEQ].to_numpy()
-            taken = np.zeros(len(right), dtype=bool)
-            out_l, out_r, out_s = [], [], []
-            for i in range(len(left)):
-                row = np.where(taken, -1.0, M[i])
-                j = int(row.argmax())  # first max == reference's strict >
-                best = float(row[j])
-                if best > 0.0 and best >= threshold:
-                    taken[j] = True
-                    out_l.append(int(lseq[i]))
-                    out_r.append(int(rseq[j]))
-                    out_s.append(best)
-            return pd.DataFrame({"left_seq": out_l, "right_seq": out_r, "sim": out_s})
-
-        return greedy
-
     # ------------------------------------------------------------------
+    def _ranked(self, d: DataFrame, rank_col: str) -> DataFrame:
+        """Within-block processing rank = the reference's stable sort order
+        ((sort keys..., input seq) — unique SEQ makes it total)."""
+        from pyspark.sql.window import Window
+
+        config = self.config
+        order_cols = (
+            ([config.sort_field] if config.sort_field else [fc.field for fc in config.fields])
+            if config.sort_before_match
+            else []
+        )
+        w = Window.partitionBy(BK).orderBy(
+            *[F.col(c) for c in order_cols if c in d.columns], F.col(SEQ)
+        )
+        return d.filter(F.col(BK).isNotNull()).withColumn(
+            rank_col, F.row_number().over(w)
+        )
+
     def match_pairs(self, df1: DataFrame, df2: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """Run blocking + greedy; returns ``(pairs, prepared1, prepared2)``.
+        """Run blocking + scoring + greedy; returns ``(pairs, d1, d2)``.
 
         ``pairs`` has columns ``left_seq, right_seq, sim``.
+
+        Execution shape (the 100 TB-safe one): pair *scoring* is a block
+        equi-join + vectorized pairwise kernel — fully parallel, AQE
+        skew-splittable, so one hot block key cannot serialize scoring the
+        way a per-block cogroup does — and only the >= threshold *edges*
+        (with block-local ranks) reach the per-block sequential greedy
+        assignment, which is cheap because the edge list is small.  The
+        edge-list greedy is output-identical to the full-matrix argmax:
+        any right that could ever be assigned scores >= threshold (and
+        > 0), so dropping sub-threshold pairs cannot change an argmax
+        that leads to an assignment.
+
+        Fast path (all fields RATIO/TOKEN_SORT, no transliteration): each
+        side's values are pre-transformed once per record (lowercase /
+        sorted-token join) so pair scoring is plain ``ratio`` on
+        transformed values, and the exact transformed lengths drive a
+        lossless JVM pruning bound ``2*min(l1,l2)/(l1+l2) >= threshold``
+        inside the join.  Other configs take the general scorer (full
+        per-field semantics, unique pairs scored once).
         """
+        from fuzzy_matching_spark.config import FuzzyAlgorithm
+        from fuzzy_matching_spark.functions import scoring
+
+        config = self.config
         d1 = self._prepare(df1)
         d2 = self._prepare(df2)
-        g1 = d1.filter(F.col(BK).isNotNull()).groupby(BK)
-        g2 = d2.filter(F.col(BK).isNotNull()).groupby(BK)
-        pairs = g1.cogroup(g2).applyInPandas(
-            self._greedy_fn(), schema="left_seq long, right_seq long, sim double"
+        a = self._ranked(d1, "_lr")
+        b = self._ranked(d2, "_rr")
+
+        nf = len(config.fields)
+        weights = [fc.weight for fc in config.fields]
+        total_w = sum(weights)
+        translit_on = config.transliteration.enabled
+        simple = all(
+            not (fc.transliterate and translit_on)
+            and (fc.fuzzy_algorithm or config.fuzzy_algorithm)
+            in (FuzzyAlgorithm.RATIO, FuzzyAlgorithm.TOKEN_SORT)
+            for fc in config.fields
+        )
+
+        def side_cols(d, prefix):
+            cols = []
+            for i, fc in enumerate(config.fields):
+                src = F.col(fc.field) if fc.field in d.columns else F.lit("")
+                if simple:
+                    algo = fc.fuzzy_algorithm or config.fuzzy_algorithm
+                    src = scoring.transform_value_udf(algo.value)(src)
+                cols.append(src.alias(f"{prefix}{i}"))
+            return cols
+
+        asel = a.select(
+            F.col(BK), F.col(SEQ).alias("left_seq"), F.col("_lr"), *side_cols(a, "_fa")
+        )
+        bsel = b.select(
+            F.col(BK), F.col(SEQ).alias("right_seq"), F.col("_rr"), *side_cols(b, "_fb")
+        )
+        joined = asel.join(bsel, BK)
+
+        if simple and config.threshold > 0 and total_w > 0:
+            # lossless prune: per-field ratio upper bound from exact
+            # transformed lengths, weighted like the real score
+            ub = F.lit(0.0)
+            for i, w in enumerate(weights):
+                la = F.length(f"_fa{i}")
+                lb = F.length(f"_fb{i}")
+                fub = F.when(
+                    la + lb > 0, 2.0 * F.least(la, lb) / (la + lb)
+                ).otherwise(F.lit(0.0))
+                ub = ub + fub * F.lit(w)
+            joined = joined.filter(ub / F.lit(total_w) >= F.lit(config.threshold))
+
+        # the block join has as many useful partitions as block keys (~26
+        # for first-char blocking) and a hot key ('S'...) concentrates the
+        # quadratic pair volume in one task; Python scoring is CPU-bound,
+        # so spread the candidate stream across the cluster before the UDF.
+        # hash-repartition on (block, left rank) — not round-robin, and not
+        # repartitionByRange (whose boundary sampling would run the join
+        # twice): every left's full right-run stays in one partition, so
+        # Arrow batches remain near-rectangular and the scorer's matrix
+        # kernel (which amortizes pattern tables across a left's rights)
+        # keeps its ~10-40x advantage, while a hot block's lefts hash
+        # across the cluster.  The shuffle moves exactly the candidate-pair
+        # stream once, in exchange for even CPU use.
+        par = joined.sparkSession.sparkContext.defaultParallelism
+        joined = joined.repartition(max(32, par * 2), F.col(BK), F.col("_lr"))
+
+        scorer = (
+            scoring.make_simple_pair_scorer(weights)
+            if simple
+            else scoring.make_general_pair_scorer(config)
+        )
+        scored = joined.withColumn(
+            "sim",
+            scorer(*[F.col(f"_f{s}{i}") for i in range(nf) for s in ("a", "b")]),
+        )
+        edges = scored.filter(
+            (F.col("sim") > 0.0) & (F.col("sim") >= F.lit(config.threshold))
+        ).select(BK, "_lr", "_rr", "left_seq", "right_seq", "sim")
+
+        pairs = edges.groupBy(BK).applyInPandas(
+            _greedy_over_edges, schema="left_seq long, right_seq long, sim double"
         )
         return pairs, d1, d2
 

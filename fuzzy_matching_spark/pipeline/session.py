@@ -32,6 +32,17 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = 32
 
+    # glibc returns mmap'd allocations (>=128 KB) to the OS on free, so
+    # numpy-heavy UDF workers re-fault the same pages on every Arrow batch —
+    # at this sandbox's ~0.13 ms/page first-touch cost that multiplied some
+    # kernel batches 5-10x.  Raising the thresholds makes workers retain
+    # and reuse arena memory (bounded by their steady-state footprint).
+    malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": "1073741824",
+        "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    }
+    os.environ.update(malloc_env)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -45,6 +56,8 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    for k, v in malloc_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
