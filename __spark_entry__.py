@@ -240,20 +240,31 @@ def q_order_customer_join(spark, sf_dir):
 # rows-only entry — its LCS scorer has no ANSI-SQL equivalent)
 # ---------------------------------------------------------------------------
 
+def _spread(df):
+    """The test tables are single small parquet files (one input split);
+    spread them so Arrow stages don't serialize on one task."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par * 2)
+    return df
+
+
 def _docs_as_corpus(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").selectExpr(
-        "cast(doc_id as string) as repo",
-        "cast(doc_id as string) as path",
-        "cast(doc_id as string) as commit",
-        "lang",
-        "text as content",
+    return _spread(
+        _t(spark, sf_dir, "documents").selectExpr(
+            "cast(doc_id as string) as repo",
+            "cast(doc_id as string) as path",
+            "cast(doc_id as string) as commit",
+            "lang",
+            "text as content",
+        )
     )
 
 
 def _docs_content(spark, sf_dir):
     """documents with the original doc_id (oracle joins on it directly)."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("content")
+    return _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
     )
 
 

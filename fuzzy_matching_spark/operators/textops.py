@@ -158,32 +158,50 @@ def _token_jaccard_bitmask(tok_arrays, vocab_rows, threshold, id_col):
         ),
         lambda x: x.isNotNull(),
     )
+    # pmask = bitmask of the doc's prefix bits; a pair is emitted ONLY at
+    # the lowest bit the two prefixes share, so every candidate pair
+    # materializes exactly once and no pair-dedup shuffle is needed
+    prefix_bits = F.slice(bits, F.lit(1), prefix_len.cast("int"))
     prefix = (
-        masked.withColumn("bit", F.explode(F.slice(bits, F.lit(1), prefix_len.cast("int"))))
-        .select(id_col, "sz", "mask", "bit")
+        masked.withColumn(
+            "pmask",
+            F.aggregate(
+                prefix_bits,
+                F.lit(0).cast("long"),
+                # pow(2, x) is exact for powers of two; shiftleft() cannot
+                # take a lambda variable as the shift amount
+                lambda acc, x: acc.bitwiseOR(F.pow(F.lit(2.0), x).cast("long")),
+            ),
+        )
+        .withColumn("bit", F.explode(prefix_bits))
+        .select(id_col, "sz", "mask", "pmask", "bit")
     )
 
     a = prefix.select(
         F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
-        F.col("mask").alias("mask_a"), "bit",
+        F.col("mask").alias("mask_a"), F.col("pmask").alias("pmask_a"), "bit",
     )
     b = prefix.select(
         F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"),
-        F.col("mask").alias("mask_b"), "bit",
+        F.col("mask").alias("mask_b"), F.col("pmask").alias("pmask_b"), "bit",
     )
     inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    shared_low = (
+        "((pmask_a & pmask_b) & -(pmask_a & pmask_b))"
+        " = shiftleft(CAST(1 AS BIGINT), bit)"
+    )
     return (
         a.join(b, "bit")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("sz_a") >= threshold * F.col("sz_b"))
             & (F.col("sz_b") >= threshold * F.col("sz_a"))
+            & F.expr(shared_low)
         )
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .distinct()
     )
 
 

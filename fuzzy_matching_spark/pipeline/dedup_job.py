@@ -100,7 +100,18 @@ class DedupPipeline:
     # -- stages ------------------------------------------------------------
 
     def ingest(self, corpus: DataFrame) -> DataFrame:
-        """Attach doc_id + the per-row sha256 content invariant."""
+        """Attach doc_id + the per-row sha256 content invariant.
+
+        If the source has fewer splits than the cluster has slots (one
+        small parquet file, a fresh generator), spread it first — every
+        downstream Arrow stage (signatures, verification shingling)
+        inherits the scan's partitioning, and a single-split input would
+        serialize them all.  At corpus scale inputs have plenty of splits
+        and this is a no-op.
+        """
+        par = self.spark.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < par:
+            corpus = corpus.repartition(par * 2)
         return corpus.withColumn(
             "doc_id", F.xxhash64("repo", "path", "commit")
         ).withColumn("content_sha256", F.sha2("content", 256))
