@@ -185,8 +185,16 @@ def minhash_signatures(
     config: DedupConfig,
     content_col: str = "content",
     id_col: str = "doc_id",
+    keep_shingles: bool = False,
 ) -> DataFrame:
-    """-> (doc_id, sig array<long>, bands array<long>, n_shingles int)."""
+    """-> (doc_id, sig array<long>, bands array<long>, n_shingles int).
+
+    ``keep_shingles=True`` additionally returns the sorted unique shingle
+    hashes (``sh array<long>``) so the exact verifier can reuse them —
+    shingling is the dominant Python cost of the pipeline, and without
+    this the verifier re-shingles every participating doc (plus pays a
+    semi-join stage to find them).
+    """
     k = config.shingle_size
     tokenize = config.tokenize
     num_perm = config.num_perm
@@ -195,6 +203,8 @@ def minhash_signatures(
     mode = getattr(config, "minhash_mode", "oph")
 
     out_schema = f"`{id_col}` long, sig array<long>, bands array<long>, n_shingles int"
+    if keep_shingles:
+        out_schema += ", sh array<long>"
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = _perm_params(num_perm, seed) if mode == "classic" else (None, None)
@@ -212,14 +222,15 @@ def minhash_signatures(
                 doc_idx = np.repeat(np.arange(n, dtype=np.uint64), counts)
                 sig_mat = _oph_batch(all_sh, doc_idx, n, num_perm)
             bands_mat = _band_fold_batch(sig_mat, n_bands, rows)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "sig": list(sig_mat.view(np.int64)),
-                    "bands": list(bands_mat.view(np.int64)),
-                    "n_shingles": counts,
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "sig": list(sig_mat.view(np.int64)),
+                "bands": list(bands_mat.view(np.int64)),
+                "n_shingles": counts,
+            }
+            if keep_shingles:
+                out["sh"] = [s.view(np.int64) for s in shlists]
+            yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(compute, schema=out_schema)
 
@@ -316,38 +327,47 @@ def verify_pairs_exact(
     config: DedupConfig,
     content_col: str = "content",
     id_col: str = "doc_id",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard per candidate pair.
 
-    Each *participating* doc is shingled exactly once (semi-join of the
-    corpus against the pair ids — the re-shingle-per-pair alternative costs
-    O(pairs x doc_len) Python work and dominated the stage); the sorted
-    unique hash arrays are then joined to the pairs and intersected with a
-    linear merge (`np.intersect1d` on pre-sorted arrays).  Exactness here is
-    what makes the >=0.99-recall-vs-oracle guarantee testable.
+    ``shingles_df`` (doc_id + ``sh array<long>``, e.g. from
+    ``minhash_signatures(..., keep_shingles=True)``) lets the verifier
+    reuse already-computed shingle sets.  Without it, each *participating*
+    doc is shingled exactly once (semi-join of the corpus against the pair
+    ids — the re-shingle-per-pair alternative costs O(pairs x doc_len)
+    Python work and dominated the stage).  The sorted unique hash arrays
+    are joined to the pairs and intersected with a linear merge
+    (`np.intersect1d` on pre-sorted arrays).  Exactness here is what makes
+    the >=0.99-recall-vs-oracle guarantee testable.
     """
     k, tokenize = config.shingle_size, config.tokenize
 
-    ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    participating = corpus.select(id_col, content_col).join(ids, id_col, "left_semi")
+    if shingles_df is not None:
+        sh_df = shingles_df.select(id_col, "sh")
+    else:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        participating = corpus.select(id_col, content_col).join(ids, id_col, "left_semi")
 
-    def shingle(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "sh": [
-                        shingle_hashes(t or "", k, tokenize).view(np.int64)
-                        for t in pdf[content_col]
-                    ],
-                }
-            )
+        def shingle(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "sh": [
+                            shingle_hashes(t or "", k, tokenize).view(np.int64)
+                            for t in pdf[content_col]
+                        ],
+                    }
+                )
 
-    sh_df = participating.mapInPandas(shingle, schema=f"`{id_col}` long, sh array<long>")
+        sh_df = participating.mapInPandas(
+            shingle, schema=f"`{id_col}` long, sh array<long>"
+        )
     a = sh_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

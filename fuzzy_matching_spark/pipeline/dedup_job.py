@@ -121,19 +121,31 @@ class DedupPipeline:
 
         Star topology (every member -> group min) rather than all-pairs:
         O(n) edges per group instead of O(n^2), same connected components.
+        Derived from the same sha-partitioned window as the rep-per-sha
+        dedup, so the pipeline pays the shuffle once (see ``_run``).
         """
-        grouped = docs.groupBy("content_sha256").agg(
-            F.min("doc_id").alias("id_a"), F.collect_list("doc_id").alias("ids")
-        )
+        from pyspark.sql.window import Window
+
+        w_sha = Window.partitionBy("content_sha256").orderBy("doc_id")
         return (
-            grouped.select("id_a", F.explode("ids").alias("id_b"))
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", F.lit("exact").alias("detector"), F.lit(1.0).alias("score"))
+            docs.withColumn("_min", F.first("doc_id").over(w_sha))
+            .filter(F.col("doc_id") != F.col("_min"))
+            .select(
+                F.col("_min").alias("id_a"),
+                F.col("doc_id").alias("id_b"),
+                F.lit("exact").alias("detector"),
+                F.lit(1.0).alias("score"),
+            )
         )
 
     def minhash_edges(self, docs: DataFrame) -> DataFrame:
         # sigs feed three consumers (banding, the estimate prefilter, skew
         # metrics) — persist or every consumer re-runs the mapInPandas scan
+        # NOTE deliberately NOT keep_shingles=True: persisting every doc's
+        # shingle set multiplies the cached signature footprint by ~100x
+        # (measured: GC/paging collapse at 330k docs on an 8g driver).
+        # The verifier instead re-shingles only the *participating* docs —
+        # a small fraction of the corpus — behind a semi-join.
         sigs = self._stage(
             "minhash_sigs", lambda: minhash.minhash_signatures(docs, self.config)
         ).persist()
@@ -243,22 +255,30 @@ class DedupPipeline:
         # (min doc_id of each sha256 class): byte-identical copies already
         # form a star through exact_edges, so running MinHash/SimHash over
         # every copy would only re-discover those components while inflating
-        # the LSH bucket joins quadratically in the copy count.  One window
-        # shuffle (vs the groupBy+join formulation's two).
+        # the LSH bucket joins quadratically in the copy count.  The rep
+        # pick AND the exact star edges come from ONE sha-partitioned
+        # window pass (both window functions share the spec, so Spark
+        # computes them in a single shuffle+sort).
         from pyspark.sql.window import Window
 
         w_sha = Window.partitionBy("content_sha256").orderBy("doc_id")
-        rep_docs = (
+        tagged = (
             docs.withColumn("_rn", F.row_number().over(w_sha))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .withColumn("_min", F.first("doc_id").over(w_sha))
             .persist()
         )
-        self._temp_persists.append(rep_docs)
+        self._temp_persists.append(tagged)
+        rep_docs = tagged.filter(F.col("_rn") == 1).drop("_rn", "_min")
         if self.collect_metrics:
             self._metrics.append(("ingest", "distinct_contents", float(rep_docs.count())))
 
-        edge_frames = [self.exact_edges(docs)]
+        exact = tagged.filter(F.col("doc_id") != F.col("_min")).select(
+            F.col("_min").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.lit("exact").alias("detector"),
+            F.lit(1.0).alias("score"),
+        )
+        edge_frames = [exact]
         if "minhash" in self.detectors:
             edge_frames.append(self.minhash_edges(rep_docs))
         if "simhash" in self.detectors:
