@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from fuzzy_matching_spark.kernel import batchlcs, fuzz
+from fuzzy_matching_spark.kernel import batchfuzz, batchlcs
 
 __all__ = [
     "score_matrix",
@@ -40,9 +40,20 @@ __all__ = [
     "VECTORIZED",
 ]
 
-# scorers with a fully vectorized path; everything else uses the scalar
-# kernel over unique pairs
-VECTORIZED = frozenset({"ratio", "token_sort_ratio"})
+# All five scorers now have batched paths (round 3: partial / token-set /
+# WRatio moved onto kernel/batchfuzz, VERDICT r2 task #3); the scalar
+# kernel remains as the parity oracle and the long-string fallback inside
+# batchfuzz.partial_ratio_pairs.
+VECTORIZED = frozenset(
+    {"ratio", "token_sort_ratio", "partial_ratio", "token_set_ratio", "wratio"}
+)
+
+_BATCH_PAIRS = {
+    "token_sort_ratio": batchfuzz.token_sort_ratio_pairs,
+    "partial_ratio": batchfuzz.partial_ratio_pairs,
+    "token_set_ratio": batchfuzz.token_set_ratio_pairs,
+    "wratio": batchfuzz.wratio_pairs,
+}
 
 
 def _sorted_joins(vals) -> list:
@@ -59,13 +70,16 @@ def score_matrix(algorithm: str, left_vals, right_vals) -> np.ndarray:
     right_vals = list(right_vals)
     if algorithm == "token_sort_ratio":
         return batchlcs.ratio_matrix(_sorted_joins(left_vals), _sorted_joins(right_vals))
-    if algorithm in ("partial_ratio", "token_set_ratio", "wratio"):
-        fn = fuzz.SCORERS[algorithm]
-        out = np.empty((len(left_vals), len(right_vals)), dtype=np.float64)
-        for i, s1 in enumerate(left_vals):
-            for j, s2 in enumerate(right_vals):
-                out[i, j] = fn(s1, s2)
-        return out
+    fn = _BATCH_PAIRS.get(algorithm)
+    if fn is not None:
+        nl, nr = len(left_vals), len(right_vals)
+        if nl == 0 or nr == 0:
+            return np.zeros((nl, nr), dtype=np.float64)
+        # cross-product expansion: references only, no string copies; the
+        # batched pair kernel amortizes the LCS passes
+        grid_l = [s for s in left_vals for _ in range(nr)]
+        grid_r = right_vals * nl
+        return fn(grid_l, grid_r).reshape(nl, nr)
     return batchlcs.ratio_matrix(left_vals, right_vals)
 
 
@@ -73,15 +87,9 @@ def score_pairs(algorithm: str, left_vals, right_vals) -> np.ndarray:
     """Aligned pairwise scores in [0, 100] (vector of len(left))."""
     left_vals = list(left_vals)
     right_vals = list(right_vals)
-    if algorithm == "token_sort_ratio":
-        return batchlcs.ratio_pairs(_sorted_joins(left_vals), _sorted_joins(right_vals))
-    if algorithm in ("partial_ratio", "token_set_ratio", "wratio"):
-        fn = fuzz.SCORERS[algorithm]
-        return np.fromiter(
-            (fn(a, b) for a, b in zip(left_vals, right_vals)),
-            dtype=np.float64,
-            count=len(left_vals),
-        )
+    fn = _BATCH_PAIRS.get(algorithm)
+    if fn is not None:
+        return np.asarray(fn(left_vals, right_vals), dtype=np.float64)
     return batchlcs.ratio_pairs(left_vals, right_vals)
 
 

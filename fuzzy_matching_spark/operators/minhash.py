@@ -37,6 +37,7 @@ from fuzzy_matching_spark.config import DedupConfig
 
 __all__ = [
     "shingle_hashes",
+    "shingle_table",
     "minhash_signatures",
     "band_table",
     "candidate_pairs",
@@ -321,6 +322,39 @@ def estimate_similarity(pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_
     )
 
 
+def shingle_table(
+    docs: DataFrame,
+    config: DedupConfig,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """-> (doc_id, sh array<long>): sorted unique k-shingle hashes per doc.
+
+    The exact-verification primitive: one Arrow-batched shingling pass over
+    whatever subset of the corpus the caller supplies (typically a semi-join
+    of the participating pair ids).  Callers that join the result more than
+    once should persist/checkpoint it — shingling is the dominant Python
+    cost of the pipeline.
+    """
+    k, tokenize = config.shingle_size, config.tokenize
+
+    def shingle(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sh": [
+                        shingle_hashes(t or "", k, tokenize).view(np.int64)
+                        for t in pdf[content_col]
+                    ],
+                }
+            )
+
+    return docs.select(id_col, content_col).mapInPandas(
+        shingle, schema=f"`{id_col}` long, sh array<long>"
+    )
+
+
 def verify_pairs_exact(
     pairs: DataFrame,
     corpus: DataFrame,
@@ -341,33 +375,24 @@ def verify_pairs_exact(
     (`np.intersect1d` on pre-sorted arrays).  Exactness here is what makes
     the >=0.99-recall-vs-oracle guarantee testable.
     """
-    k, tokenize = config.shingle_size, config.tokenize
-
     if shingles_df is not None:
         sh_df = shingles_df.select(id_col, "sh")
     else:
-        ids = (
-            pairs.select(F.col("id_a").alias(id_col))
-            .union(pairs.select(F.col("id_b").alias(id_col)))
-            .distinct()
+        # no .distinct() on ids: left-semi join already deduplicates the
+        # probe side, and the distinct costs a full exchange + aggregate
+        ids = pairs.select(F.col("id_a").alias(id_col)).union(
+            pairs.select(F.col("id_b").alias(id_col))
         )
         participating = corpus.select(id_col, content_col).join(ids, id_col, "left_semi")
-
-        def shingle(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "sh": [
-                            shingle_hashes(t or "", k, tokenize).view(np.int64)
-                            for t in pdf[content_col]
-                        ],
-                    }
-                )
-
-        sh_df = participating.mapInPandas(
-            shingle, schema=f"`{id_col}` long, sh array<long>"
-        )
+        # sh_df feeds BOTH sides of the pair join below; without a persist
+        # Spark recomputes the whole semi-join + Python shingling subtree
+        # once per side (measured: the verify stage's wall doubled).
+        # Callers that manage cache lifecycles themselves should pass
+        # ``shingles_df``; this localCheckpoint keeps the standalone path
+        # single-compute without leaking a persist the caller can't release.
+        sh_df = shingle_table(
+            participating, config, id_col=id_col, content_col=content_col
+        ).localCheckpoint(eager=False)
     a = sh_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

@@ -85,14 +85,26 @@ class DedupPipeline:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
-    def _count_metric(self, stage: str, metric: str, df: DataFrame, keep: bool = False) -> DataFrame:
-        df = df.persist()
-        # persists are registered so run()'s finally block can release
-        # executor storage even on failure (long-lived sessions otherwise
-        # leak cached stages across runs); ``keep=True`` is for frames the
-        # caller receives in the DedupResult — their cache must outlive run()
-        if not keep:
-            self._temp_persists.append(df)
+    def _count_metric(
+        self, stage: str, metric: str, df: DataFrame, keep: bool = False,
+        force_persist: bool = False,
+    ) -> DataFrame:
+        # Persist only when something will read the frame twice: the metric
+        # count is one consumer, so with ``collect_metrics=False`` a
+        # single-consumer frame is NOT cached (``force_persist=True`` marks
+        # frames with multiple downstream consumers regardless).  A persist
+        # that nothing reads twice only adds cache-write traffic and an
+        # InMemoryRelation boundary that blocks whole-stage fusion with the
+        # consumer.
+        if self.collect_metrics or force_persist:
+            df = df.persist()
+            # persists are registered so run()'s finally block can release
+            # executor storage even on failure (long-lived sessions otherwise
+            # leak cached stages across runs); ``keep=True`` is for frames the
+            # caller receives in the DedupResult — their cache must outlive
+            # run()
+            if not keep:
+                self._temp_persists.append(df)
         if self.collect_metrics:
             self._metrics.append((stage, metric, float(df.count())))
         return df
@@ -157,15 +169,20 @@ class DedupPipeline:
             ).collect()[0]
             self._metrics.append(("minhash", "buckets_dropped", float(skew["n"])))
             self._metrics.append(("minhash", "rows_in_dropped_buckets", float(skew["rows"])))
-        pairs = self._count_metric("minhash", "candidate_pairs", pairs)
         t = self.config.verify_threshold
+        # In "always" mode pairs has three consumers (both sides of `ids` +
+        # the verify join); in "auto" mode the estimate join is the only one.
+        pairs = self._count_metric(
+            "minhash", "candidate_pairs", pairs,
+            force_persist=self.config.verify_mode == "always",
+        )
         if self.config.verify_mode == "always":
             # correctness mode: every candidate pair gets the exact
             # shingle-Jaccard; surviving edges are provably >= t
             verified = minhash.verify_pairs_exact(pairs, docs, self.config).filter(
                 F.col("sim") >= t
             )
-            self._temp_persists += [sigs, bands, pairs]
+            self._temp_persists += [sigs, bands]
             return verified.select(
                 "id_a", "id_b", F.lit("minhash").alias("detector"), F.col("sim").alias("score")
             )
@@ -197,7 +214,11 @@ class DedupPipeline:
         ambiguous = est.filter(
             (~dense) | ((F.col("sim") >= t - margin) & (F.col("sim") < t + margin))
         ).select("id_a", "id_b")
-        ambiguous = self._count_metric("minhash", "ambiguous_pairs", ambiguous)
+        # ambiguous feeds the verify join three ways (both sides of `ids` +
+        # the pair join itself)
+        ambiguous = self._count_metric(
+            "minhash", "ambiguous_pairs", ambiguous, force_persist=True
+        )
         verified = minhash.verify_pairs_exact(ambiguous, docs, self.config).filter(
             F.col("sim") >= t
         )
@@ -206,8 +227,9 @@ class DedupPipeline:
         )
         # deferred to the end of run(): connected_components is what first
         # materializes the edge union, so dropping these caches here would
-        # silently recompute the candidate join
-        self._temp_persists += [sigs, bands, pairs, est]
+        # silently recompute the candidate join (pairs/ambiguous are
+        # registered by _count_metric when persisted)
+        self._temp_persists += [sigs, bands, est]
         return edges.select(
             "id_a", "id_b", F.lit("minhash").alias("detector"), F.col("sim").alias("score")
         )
@@ -290,7 +312,10 @@ class DedupPipeline:
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)
         edges = self._stage("edges", lambda: edges)
-        edges = self._count_metric("edges", "total_edges", edges, keep=True)
+        # edges always persists: connected_components reads it at least twice
+        # (size probe + either collect or the superstep loop), and it is
+        # handed to the caller in the DedupResult
+        edges = self._count_metric("edges", "total_edges", edges, keep=True, force_persist=True)
 
         # no distinct here: connected_components tolerates duplicate edges
         # (union-find ignores them; the distributed path dedups in `sym`)
