@@ -370,9 +370,59 @@ def q_greedy_match_rank(spark, sf_dir):
     )
 
 
+_TS_LEFT = ["alpha beta", "gamma delta", "epsilon zeta"]
+_TS_RIGHT = ["beta alphaa", "delta gamma", "zeta epsilonn"]
+
+
+def q_greedy_match_tokensort_oracle(spark, sf_dir):
+    """J3/F3 restricted variant where the TOKEN_SORT similarity itself is
+    SQL-checkable (VERDICT r2 #7): record values come from a fixed 3-family
+    vocabulary, so every >= threshold pair's bit-parallel-LCS score is one
+    of three enumerable constants (20/21, 1.0, 0.96 — verified against the
+    scalar kernel) that the oracle hardcodes.  Unlike
+    ``greedy_match_rank_oracle`` (threshold 1.0, sims pinned at 1.0) this
+    drives the real TOKEN_SORT kernel through non-trivial values: the
+    variant strings reorder tokens AND distort one token, so the sorted
+    join + LCS must produce exactly the expected fraction or the hash
+    check fails.  Greedy degenerates to rank pairing because within a
+    block all pair scores are equal (one family per block)."""
+    d = _t(spark, sf_dir, "documents")
+    grp = (F.col("doc_id") % 3).cast("string")
+    idx = (F.col("doc_id") % 3 + 1).cast("int")
+    lval = F.element_at(F.array(*[F.lit(v) for v in _TS_LEFT]), idx)
+    rval = F.element_at(F.array(*[F.lit(v) for v in _TS_RIGHT]), idx)
+    d1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", grp.alias("grp"), lval.alias("val")
+    )
+    d2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", grp.alias("grp"), rval.alias("val")
+    )
+    config = MatchConfig(
+        fields=[MatchFieldConfig("val", 1.0)],
+        threshold=0.9,
+        block_field="grp",
+        sort_before_match=True,
+        sort_field="doc_id",
+        fuzzy_algorithm=FuzzyAlgorithm.TOKEN_SORT,
+    )
+    matches, _ = SparkMatcher(config).match_and_consolidate(d1, d2)
+    return matches.select(
+        F.col("Оригинал.doc_id").cast("long").alias("orig_doc_id"),
+        F.col("Вариант.doc_id").cast("long").alias("var_doc_id"),
+        F.round("Схожесть", 6).alias("sim"),
+    )
+
+
 def q_ann_hyperplane(spark, sf_dir):
+    """Oracle-parity query: ``max_bucket_size=None`` because the DuckDB twin
+    enumerates ALL band-bucket pairs — with the default cap the two would
+    silently diverge as soon as one bucket exceeds it (ADVICE r2).  The
+    scale path keeps the cap and surfaces dropped buckets via
+    ``return_bucket_metrics=True`` (tests/test_ann_skew.py)."""
     v = _t(spark, sf_dir, "embeddings")
-    return embeddings.random_hyperplane_ann(v, k=5, n_planes=16, bands=2, seed=42)
+    return embeddings.random_hyperplane_ann(
+        v, k=5, n_planes=16, bands=2, seed=42, max_bucket_size=None
+    )
 
 
 DOC_CLUSTER_CONFIG = DedupConfig(
@@ -419,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_pairs": q_substring_pairs,
         "greedy_match_documents": q_greedy_match_documents,
         "greedy_match_rank_oracle": q_greedy_match_rank,
+        "greedy_match_tokensort_oracle": q_greedy_match_tokensort_oracle,
         "ann_hyperplane": q_ann_hyperplane,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
     }
@@ -655,10 +706,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.s, b.s)) <= 3
         """,
         "substring_dedup_pairs": r"""
-            WITH w AS (SELECT doc_id, i - 1 AS pos, md5(substr(text, i::INT, 32)) d FROM
+            WITH w AS (SELECT doc_id, i - 1 AS pos, md5(substr(text, i::INT, 32)) d,
+                              list_sum(list_transform(range(0, 32),
+                                  t -> unicode(substr(text, (i + t)::INT, 1)))) wsum
+                       FROM
                          (SELECT doc_id, text, unnest(range(1, length(text) - 30)) i
                           FROM documents WHERE length(text) >= 32)),
-            q AS (SELECT doc_id, pos, d, (('0x' || substr(d, 1, 2))::INT % 8 = 0) AS isa
+            q AS (SELECT doc_id, pos, d, (wsum % 8 = 0) AS isa
                   FROM w),
             anch0 AS (SELECT doc_id, pos, d FROM q WHERE isa),
             fallback AS (SELECT doc_id, pos, d FROM q WHERE pos = 0
@@ -682,6 +736,23 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents WHERE doc_id % 2 = 1)
             SELECT d1.doc_id AS orig_doc_id, d2.doc_id AS var_doc_id, 1.0 AS sim
             FROM d1 JOIN d2 USING (lang, rn)
+        """,
+        "greedy_match_tokensort_oracle": """
+            WITH d1 AS (SELECT doc_id, doc_id % 3 AS grp,
+                               row_number() OVER (PARTITION BY doc_id % 3
+                                                  ORDER BY CAST(doc_id AS VARCHAR)) rn
+                        FROM documents WHERE doc_id % 2 = 0),
+                 d2 AS (SELECT doc_id, doc_id % 3 AS grp,
+                               row_number() OVER (PARTITION BY doc_id % 3
+                                                  ORDER BY CAST(doc_id AS VARCHAR)) rn
+                        FROM documents WHERE doc_id % 2 = 1)
+            SELECT d1.doc_id AS orig_doc_id, d2.doc_id AS var_doc_id,
+                   CAST(CASE d1.grp
+                        WHEN 0 THEN round(20.0 / 21.0, 6)  -- token_sort('alpha beta','beta alphaa')
+                        WHEN 1 THEN 1.0                    -- pure reorder
+                        ELSE 0.96                          -- token_sort('epsilon zeta','zeta epsilonn')
+                        END AS DOUBLE) AS sim
+            FROM d1 JOIN d2 ON d1.grp = d2.grp AND d1.rn = d2.rn
         """,
         "ann_hyperplane": _ann_oracle_sql(),
         "dedup_cluster_sizes": f"""

@@ -94,6 +94,7 @@ def random_hyperplane_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 10_000,
+    return_bucket_metrics: bool = False,
 ) -> DataFrame:
     """All-pairs approximate top-k: hyperplane-sign LSH buckets + exact rerank.
 
@@ -106,6 +107,10 @@ def random_hyperplane_ann(
     * buckets larger than ``max_bucket_size`` are excluded from pair
       expansion via a distributed window count — one dense embedding region
       otherwise makes a quadratic bucket;
+    * ``return_bucket_metrics=True`` additionally returns a
+      ``(band, bkey, size, skipped)`` frame so the recall cost of the cap is
+      *accounted*, never silent — same contract as
+      ``minhash.candidate_pairs``;
     * the band self-join carries *ids only*; vectors are re-joined once per
       deduplicated (query, neighbor) pair, so full embeddings are never
       shuffled through the candidate dedup.
@@ -131,6 +136,12 @@ def random_hyperplane_ann(
         F.col(id_col), F.col(vec_col), F.array(*band_keys).alias("bandkeys")
     )
     bandtab = tagged.select(id_col, F.posexplode("bandkeys").alias("band", "bkey"))
+    cap = max_bucket_size if max_bucket_size is not None else 2**62
+    bucket_metrics = (
+        bandtab.groupBy("band", "bkey")
+        .agg(F.count("*").alias("size"))
+        .withColumn("skipped", F.col("size") > cap)
+    )
     if max_bucket_size is not None:
         wb = Window.partitionBy("band", "bkey")
         bandtab = (
@@ -158,8 +169,11 @@ def random_hyperplane_ann(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+    if return_bucket_metrics:
+        return result, bucket_metrics
+    return result

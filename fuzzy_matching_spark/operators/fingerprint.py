@@ -85,24 +85,39 @@ def anchor_table(
     if mode == "md5":
         import hashlib
 
+        # Selection is decoupled from the anchor digest (VERDICT r2 #6):
+        # a window is an anchor iff its *codepoint sum* ≡ 0 (mod q) — a
+        # vectorized O(n) moving sum (cumsum diff), content-defined so
+        # shared substrings still align across docs — and only the ~1/q
+        # selected windows pay an md5 call.  The old rule (md5 every
+        # window, select on the digest) cost O(n) Python md5 calls per doc:
+        # ~1M calls for a 1 MB doc.  Both the selection sum and the digest
+        # stay SQL-reproducible (DuckDB: list_sum of unicode() over the
+        # window / md5 of substr) — see the substring_dedup_pairs oracle.
+
         def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 ids, anchors, positions = [], [], []
                 for doc_id, text in zip(pdf[id_col], pdf[content_col]):
                     text = text or ""
-                    m = len(text) - L + 1
+                    cps = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    m = cps.size - L + 1
                     if m <= 0:
                         continue
-                    digests = [
+                    prefix = np.zeros(cps.size + 1, dtype=np.int64)
+                    np.cumsum(cps, out=prefix[1:])
+                    wsum = prefix[L:] - prefix[:-L]
+                    sel = np.nonzero(wsum % q == 0)[0]
+                    if sel.size == 0:
+                        sel = np.array([0])  # guarantee one anchor per doc
+                    ids.extend([doc_id] * sel.size)
+                    anchors.extend(
                         hashlib.md5(text[i : i + L].encode("utf-8")).hexdigest()
-                        for i in range(m)
-                    ]
-                    sel = [i for i, d in enumerate(digests) if int(d[:2], 16) % q == 0]
-                    if not sel:
-                        sel = [0]  # guarantee one anchor per doc
-                    ids.extend([doc_id] * len(sel))
-                    anchors.extend(digests[i] for i in sel)
-                    positions.extend(sel)
+                        for i in sel
+                    )
+                    positions.extend(sel.tolist())
                 yield pd.DataFrame({id_col: ids, "anchor": anchors, "pos": positions})
 
         return df.select(id_col, content_col).mapInPandas(

@@ -43,10 +43,78 @@ from pyspark.sql import functions as F
 from fuzzy_matching_spark.config import MatchConfig
 from fuzzy_matching_spark.functions.text import block_key, cleanliness_col
 
-__all__ = ["SparkMatcher", "attach_seq"]
+__all__ = ["SparkMatcher", "attach_seq", "minhash_candidates"]
 
 SEQ = "_fm_seq"
 BK = "_fm_bk"
+
+
+def minhash_candidates(dedup_config=None, fields=None):
+    """Candidate-generator factory: MinHash/LSH in place of first-char blocks.
+
+    Returns a callable ``gen(d1, d2, match_fields) -> DataFrame[left_seq,
+    right_seq]`` suitable for ``SparkMatcher.match_pairs(candidates=...)``
+    — the corpus-scale swap the blocking docstring promises (north rule:
+    LSH band hashing generates candidates, the reference's weighted-field
+    scorer verifies them).
+
+    Mechanics: each side's match fields are concatenated to one lowercase
+    text per record, both sides are unioned with a side-tagged id
+    (``seq*2 + side`` — ``monotonically_increasing_id`` keeps bit 63 clear,
+    so the shift cannot overflow), and ``minhash.candidate_pairs`` runs on
+    the union; only cross-side collisions survive.  Banding defaults to
+    (64 bands x 2 rows) over 3-char shingles: P[collide] = 1-(1-J^2)^64
+    > 0.99 for J >= 0.3 — generous because the weighted-field scorer, not
+    the LSH, is the precision gate.
+
+    ``fields`` restricts which match fields feed the LSH text (default: the
+    matcher's own match fields).
+    """
+    from fuzzy_matching_spark.config import DedupConfig
+    from fuzzy_matching_spark.operators import minhash
+
+    cfg = dedup_config or DedupConfig(
+        shingle_size=3, tokenize="char", num_perm=128, bands=64, rows_per_band=2
+    )
+
+    def gen(d1: DataFrame, d2: DataFrame, match_fields: list) -> DataFrame:
+        use = fields or match_fields
+
+        def tagged(d, side):
+            text = F.lower(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.coalesce(F.col(f).cast("string"), F.lit(""))
+                        for f in use
+                        if f in d.columns
+                    ],
+                )
+            )
+            return d.select(
+                (F.col(SEQ) * 2 + side).alias("doc_id"), text.alias("content")
+            )
+
+        un = tagged(d1, 0).unionByName(tagged(d2, 1))
+        sigs = minhash.minhash_signatures(un, cfg)
+        pairs, _ = minhash.candidate_pairs(minhash.band_table(sigs), cfg)
+        # candidate_pairs emits id_a < id_b; keep cross-side pairs in both
+        # orientations and map the tagged ids back to per-side seqs
+        lr = pairs.filter(
+            (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 1)
+        ).select(
+            (F.col("id_a") / 2).cast("long").alias("left_seq"),
+            ((F.col("id_b") - 1) / 2).cast("long").alias("right_seq"),
+        )
+        rl = pairs.filter(
+            (F.col("id_a") % 2 == 1) & (F.col("id_b") % 2 == 0)
+        ).select(
+            (F.col("id_b") / 2).cast("long").alias("left_seq"),
+            ((F.col("id_a") - 1) / 2).cast("long").alias("right_seq"),
+        )
+        return lr.unionByName(rl)
+
+    return gen
 
 
 def _greedy_over_edges(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -85,6 +153,45 @@ def _greedy_over_edges(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"left_seq": out_l, "right_seq": out_r, "sim": out_s})
 
 
+def _make_component_greedy(nlk: int, nrk: int):
+    """Greedy 1:1 assignment over one connected component's edge list.
+
+    The generalization of :func:`_greedy_over_edges` from per-block ranks to
+    explicit order-key tuples: lefts are processed in (order fields...,
+    left_seq) order; within a left, candidates scan by (sim desc, right's
+    order fields..., right_seq).  Strict-``>`` argmax and right-exclusivity
+    semantics are identical to the reference (data_matcher.py:472-497).
+    """
+    lcols = [f"_lk{i}" for i in range(nlk)] + ["left_seq"]
+    rcols = [f"_rk{i}" for i in range(nrk)] + ["right_seq"]
+    asc = [True] * len(lcols) + [False] + [True] * len(rcols)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"left_seq": [], "right_seq": [], "sim": []}).astype(
+                {"left_seq": "int64", "right_seq": "int64", "sim": "float64"}
+            )
+        pdf = pdf.sort_values(lcols + ["sim"] + rcols, ascending=asc, kind="stable")
+        taken: set[int] = set()
+        out_l, out_r, out_s = [], [], []
+        cur = None
+        assigned = False
+        for ls, rs, sim in zip(pdf["left_seq"], pdf["right_seq"], pdf["sim"]):
+            if ls != cur:
+                cur = ls
+                assigned = False
+            if assigned or rs in taken:
+                continue
+            taken.add(rs)
+            assigned = True
+            out_l.append(int(ls))
+            out_r.append(int(rs))
+            out_s.append(float(sim))
+        return pd.DataFrame({"left_seq": out_l, "right_seq": out_r, "sim": out_s})
+
+    return greedy
+
+
 def attach_seq(df: DataFrame) -> DataFrame:
     """Attach a stable input-order sort key (``_fm_seq``).
 
@@ -105,10 +212,20 @@ def attach_seq(df: DataFrame) -> DataFrame:
 
 
 class SparkMatcher:
-    """Distributed ``match_and_consolidate`` with reference semantics."""
+    """Distributed ``match_and_consolidate`` with reference semantics.
 
-    def __init__(self, config: MatchConfig):
+    ``rebalance_min_rows``: below this many total input rows the candidate
+    stream is NOT hash-rebalanced before scoring — on small inputs the
+    extra shuffle's stage barrier costs more than the skew it prevents
+    (the whole pair stream fits in a task or two), while at corpus scale
+    the rebalance is what keeps a hot block from serializing the Python
+    scorer.  The decision reads the exact input counts, which are free:
+    d1/d2 are localCheckpoint-pinned and must materialize anyway.
+    """
+
+    def __init__(self, config: MatchConfig, rebalance_min_rows: int = 20_000):
         self.config = config
+        self.rebalance_min_rows = rebalance_min_rows
         self.match_fields = [fc.field for fc in config.fields]
         self.weights = {fc.field: fc.weight for fc in config.fields}
 
@@ -152,10 +269,59 @@ class SparkMatcher:
             rank_col, F.row_number().over(w)
         )
 
-    def match_pairs(self, df1: DataFrame, df2: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    def _is_simple(self) -> bool:
+        """Fast-path eligibility: every field scores RATIO/TOKEN_SORT and no
+        transliteration — values can be pre-transformed once per record."""
+        from fuzzy_matching_spark.config import FuzzyAlgorithm
+
+        config = self.config
+        translit_on = config.transliteration.enabled
+        return all(
+            not (fc.transliterate and translit_on)
+            and (fc.fuzzy_algorithm or config.fuzzy_algorithm)
+            in (FuzzyAlgorithm.RATIO, FuzzyAlgorithm.TOKEN_SORT)
+            for fc in config.fields
+        )
+
+    def _side_cols(self, d: DataFrame, prefix: str, simple: bool) -> list:
+        from fuzzy_matching_spark.functions import scoring
+
+        cols = []
+        for i, fc in enumerate(self.config.fields):
+            src = F.col(fc.field) if fc.field in d.columns else F.lit("")
+            if simple:
+                algo = fc.fuzzy_algorithm or self.config.fuzzy_algorithm
+                src = scoring.transform_value_udf(algo.value)(src)
+            cols.append(src.alias(f"{prefix}{i}"))
+        return cols
+
+    def _order_cols(self, d: DataFrame) -> list[str]:
+        config = self.config
+        if not config.sort_before_match:
+            return []
+        cols = (
+            [config.sort_field] if config.sort_field else [fc.field for fc in config.fields]
+        )
+        return [c for c in cols if c in d.columns]
+
+    def match_pairs(
+        self,
+        df1: DataFrame,
+        df2: DataFrame,
+        candidates=None,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """Run blocking + scoring + greedy; returns ``(pairs, d1, d2)``.
 
         ``pairs`` has columns ``left_seq, right_seq, sim``.
+
+        ``candidates`` swaps the candidate generator: a callable
+        ``gen(d1, d2, match_fields) -> DataFrame[left_seq, right_seq]``
+        (e.g. :func:`minhash_candidates`) replaces the block equi-join —
+        the corpus-scale path promised by the module docstring.  Scoring
+        semantics (weighted fields, thresholds) and the order-exact greedy
+        are identical; ``block_field``/``group_fields`` are ignored because
+        the LSH bands *are* the blocking.  See ``_match_pairs_candidates``
+        for the component-wise greedy that replaces per-block grouping.
 
         Execution shape (the 100 TB-safe one): pair *scoring* is a block
         equi-join + vectorized pairwise kernel — fully parallel, AQE
@@ -176,41 +342,37 @@ class SparkMatcher:
         inside the join.  Other configs take the general scorer (full
         per-field semantics, unique pairs scored once).
         """
-        from fuzzy_matching_spark.config import FuzzyAlgorithm
         from fuzzy_matching_spark.functions import scoring
 
         config = self.config
-        d1 = self._prepare(df1)
-        d2 = self._prepare(df2)
+        # _fm_seq derives from monotonically_increasing_id, which is only
+        # stable across re-evaluations for sources with deterministic
+        # partition row order (file scans, createDataFrame).  The prepared
+        # frames feed BOTH the scoring join here and the consolidation
+        # join-backs in match_and_consolidate, so pin them once with a lazy
+        # localCheckpoint: every consumer then reads the same materialized
+        # snapshot and the seqs cannot diverge even for shuffled inputs
+        # (ADVICE r2).  Cost: one extra materialization of the prepared
+        # inputs, shared by all downstream stages.
+        d1 = self._prepare(df1).localCheckpoint(eager=False)
+        d2 = self._prepare(df2).localCheckpoint(eager=False)
+        if candidates is not None:
+            return self._match_pairs_candidates(d1, d2, candidates)
         a = self._ranked(d1, "_lr")
         b = self._ranked(d2, "_rr")
 
         nf = len(config.fields)
         weights = [fc.weight for fc in config.fields]
         total_w = sum(weights)
-        translit_on = config.transliteration.enabled
-        simple = all(
-            not (fc.transliterate and translit_on)
-            and (fc.fuzzy_algorithm or config.fuzzy_algorithm)
-            in (FuzzyAlgorithm.RATIO, FuzzyAlgorithm.TOKEN_SORT)
-            for fc in config.fields
-        )
-
-        def side_cols(d, prefix):
-            cols = []
-            for i, fc in enumerate(config.fields):
-                src = F.col(fc.field) if fc.field in d.columns else F.lit("")
-                if simple:
-                    algo = fc.fuzzy_algorithm or config.fuzzy_algorithm
-                    src = scoring.transform_value_udf(algo.value)(src)
-                cols.append(src.alias(f"{prefix}{i}"))
-            return cols
+        simple = self._is_simple()
 
         asel = a.select(
-            F.col(BK), F.col(SEQ).alias("left_seq"), F.col("_lr"), *side_cols(a, "_fa")
+            F.col(BK), F.col(SEQ).alias("left_seq"), F.col("_lr"),
+            *self._side_cols(a, "_fa", simple),
         )
         bsel = b.select(
-            F.col(BK), F.col(SEQ).alias("right_seq"), F.col("_rr"), *side_cols(b, "_fb")
+            F.col(BK), F.col(SEQ).alias("right_seq"), F.col("_rr"),
+            *self._side_cols(b, "_fb", simple),
         )
         joined = asel.join(bsel, BK)
 
@@ -238,9 +400,11 @@ class SparkMatcher:
         # kernel (which amortizes pattern tables across a left's rights)
         # keeps its ~10-40x advantage, while a hot block's lefts hash
         # across the cluster.  The shuffle moves exactly the candidate-pair
-        # stream once, in exchange for even CPU use.
-        par = joined.sparkSession.sparkContext.defaultParallelism
-        joined = joined.repartition(max(32, par * 2), F.col(BK), F.col("_lr"))
+        # stream once, in exchange for even CPU use.  Skipped below
+        # ``rebalance_min_rows`` — see the class docstring.
+        if d1.count() + d2.count() > self.rebalance_min_rows:
+            par = joined.sparkSession.sparkContext.defaultParallelism
+            joined = joined.repartition(max(32, par * 2), F.col(BK), F.col("_lr"))
 
         scorer = (
             scoring.make_simple_pair_scorer(weights)
@@ -260,7 +424,110 @@ class SparkMatcher:
         )
         return pairs, d1, d2
 
-    def match_and_consolidate(self, df1: DataFrame, df2: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _match_pairs_candidates(
+        self, d1: DataFrame, d2: DataFrame, candidates
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Candidate-driven scoring + component-wise order-exact greedy.
+
+        Scale shape: the candidate frame (left_seq, right_seq) is joined to
+        both sides' pre-transformed values, scored with the same vectorized
+        kernel as blocked mode, and only the >= threshold edges survive.
+        The greedy then runs per *connected component* of the thresholded
+        bipartite edge graph instead of per block: a right can only be
+        contended by lefts inside its own component, and the reference's
+        global processing order restricted to a component is the sort-key
+        tuple (order fields..., input seq) carried on each edge — so the
+        per-component greedy is output-identical to a global sequential
+        greedy (locked by tests/test_lsh_matcher.py), while sequential work
+        stays O(component edges) and components parallelize freely.  No
+        global window/rank anywhere — this is what survives 10^12 rows.
+        """
+        from fuzzy_matching_spark.functions import scoring
+        from fuzzy_matching_spark.operators.connected_components import (
+            connected_components,
+        )
+
+        config = self.config
+        cand = candidates(d1, d2, self.match_fields)
+
+        nf = len(config.fields)
+        weights = [fc.weight for fc in config.fields]
+        total_w = sum(weights)
+        simple = self._is_simple()
+        lkeys = self._order_cols(d1)
+        rkeys = self._order_cols(d2)
+
+        asel = d1.select(
+            F.col(SEQ).alias("left_seq"),
+            *[F.col(c).alias(f"_lk{i}") for i, c in enumerate(lkeys)],
+            *self._side_cols(d1, "_fa", simple),
+        )
+        bsel = d2.select(
+            F.col(SEQ).alias("right_seq"),
+            *[F.col(c).alias(f"_rk{i}") for i, c in enumerate(rkeys)],
+            *self._side_cols(d2, "_fb", simple),
+        )
+        joined = cand.join(asel, "left_seq").join(bsel, "right_seq")
+
+        if simple and config.threshold > 0 and total_w > 0:
+            # same lossless length-bound prune as blocked mode
+            ub = F.lit(0.0)
+            for i, w in enumerate(weights):
+                la = F.length(f"_fa{i}")
+                lb = F.length(f"_fb{i}")
+                fub = F.when(
+                    la + lb > 0, 2.0 * F.least(la, lb) / (la + lb)
+                ).otherwise(F.lit(0.0))
+                ub = ub + fub * F.lit(w)
+            joined = joined.filter(ub / F.lit(total_w) >= F.lit(config.threshold))
+
+        # rectangular batches for the matrix kernel: keep each left's
+        # candidate run together while spreading lefts across the cluster
+        # (skipped for small inputs — see the class docstring)
+        if d1.count() + d2.count() > self.rebalance_min_rows:
+            par = joined.sparkSession.sparkContext.defaultParallelism
+            joined = joined.repartition(max(32, par * 2), F.col("left_seq"))
+
+        scorer = (
+            scoring.make_simple_pair_scorer(weights)
+            if simple
+            else scoring.make_general_pair_scorer(config)
+        )
+        scored = joined.withColumn(
+            "sim",
+            scorer(*[F.col(f"_f{s}{i}") for i in range(nf) for s in ("a", "b")]),
+        )
+        edges = scored.filter(
+            (F.col("sim") > 0.0) & (F.col("sim") >= F.lit(config.threshold))
+        ).select(
+            "left_seq",
+            "right_seq",
+            *[f"_lk{i}" for i in range(len(lkeys))],
+            *[f"_rk{i}" for i in range(len(rkeys))],
+            "sim",
+        )
+
+        # component labels over the bipartite edge graph; ids side-tagged so
+        # the two seq spaces cannot collide (seq has bit 63 clear)
+        eid = edges.select(
+            (F.col("left_seq") * 2).alias("id_a"),
+            (F.col("right_seq") * 2 + 1).alias("id_b"),
+        )
+        labels = connected_components(eid).select(
+            F.col("id").alias("_lid"), F.col("component").alias("_comp")
+        )
+        comp_edges = edges.withColumn("_lid", F.col("left_seq") * 2).join(
+            labels, "_lid"
+        )
+        pairs = comp_edges.groupBy("_comp").applyInPandas(
+            _make_component_greedy(len(lkeys), len(rkeys)),
+            schema="left_seq long, right_seq long, sim double",
+        )
+        return pairs, d1, d2
+
+    def match_and_consolidate(
+        self, df1: DataFrame, df2: DataFrame, candidates=None
+    ) -> tuple[DataFrame, DataFrame]:
         """Distributed twin of the reference entry point.
 
         Returns ``(matches, consolidated)``:
@@ -270,8 +537,10 @@ class SparkMatcher:
           (``data_matcher.py:676-680``).
         * ``consolidated``: one cleaner record per match + all unmatched
           records from both inputs (schemas must agree).
+        * ``candidates``: optional generator forwarded to
+          :meth:`match_pairs` (LSH mode).
         """
-        pairs, d1, d2 = self.match_pairs(df1, df2)
+        pairs, d1, d2 = self.match_pairs(df1, df2, candidates=candidates)
         # The greedy cogroup is the expensive stage and is consumed by three
         # branches (winner pick + two anti-joins); persist its tiny output
         # (id pairs + sim) so the plan runs it once, not three times.

