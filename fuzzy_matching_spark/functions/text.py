@@ -65,9 +65,19 @@ def normalize_name_en_col(col: Column | str) -> Column:
 def cleanliness_col(match_fields: list[str], weights: dict[str, float]) -> Column:
     """special-char count + len * weights.get('length', 0)  (A2).
 
-    The char class intentionally excludes ё/Ё (reference regex
-    ``data_matcher.py:268`` uses а-я which skips ё) — byte-parity with the
-    reference, bug included.
+    Two reference quirks reproduced for byte-parity (``data_matcher.py:
+    262-281``), both intentional:
+
+    * the char class excludes ё/Ё (reference regex uses а-я which skips ё);
+    * the length weight reads ``weights['length']`` — but ``weights`` is
+      keyed by *field names*, so unless a match field is literally named
+      "length" the term is always 0.  Callers that want a real length
+      penalty opt in by passing ``weights={"length": w}`` explicitly —
+      the honoring path below — which is also exactly how the reference
+      would behave if a user exploited the same quirk.
+
+    The A2 driver row (``cleanliness_scores`` in ``__spark_entry__``) checks
+    the default mode: no "length" key, term = 0, pure special-char count.
     """
     combined = F.concat_ws(" ", *[F.coalesce(F.col(f).cast("string"), F.lit("")) for f in match_fields])
     special = F.length(F.regexp_replace(combined, r"[a-zA-Zа-яА-Я0-9\s]", ""))

@@ -59,8 +59,14 @@ def connected_components(
     """
     n_edges = edges.count()
     if n_edges <= driver_threshold:
-        rows = edges.select(id_a, id_b).collect()
-        return _driver_union_find_rows(rows, edges.sparkSession)
+        # Arrow batch transfer, not row collect: collect() deserializes
+        # per-row Row objects (~10x the wall of toPandas at 2M rows) and
+        # this transfer is serial driver time — it costs the same at every
+        # cluster size, so it lands directly on the scaling efficiency.
+        pdf = edges.select(id_a, id_b).toPandas()
+        return _driver_union_find_rows(
+            zip(pdf[id_a].to_numpy(), pdf[id_b].to_numpy()), edges.sparkSession
+        )
 
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -112,10 +118,12 @@ def connected_components(
     return labels
 
 
-def _driver_union_find_rows(rows, spark) -> DataFrame:
-    """Small-graph path: union-find with path halving over collected edge
-    rows, min-id relabel.  One createDataFrame; no iterative jobs."""
+def _driver_union_find_rows(pairs, spark) -> DataFrame:
+    """Small-graph path: union-find with path halving over an iterable of
+    (a, b) edge tuples, min-id relabel.  One createDataFrame; no iterative
+    jobs."""
     parent: dict[int, int] = {}
+    vertices: set[int] = set()
 
     def find(x: int) -> int:
         root = x
@@ -125,8 +133,11 @@ def _driver_union_find_rows(rows, spark) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = r[0], r[1]
+    for a, b in pairs:
+        a = int(a)
+        b = int(b)
+        vertices.add(a)
+        vertices.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             # union by min id keeps the final relabel pass trivial
@@ -134,11 +145,7 @@ def _driver_union_find_rows(rows, spark) -> DataFrame:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-        else:
-            parent.setdefault(a, ra)
-            parent.setdefault(b, rb)
 
-    vertices = {v for r in rows for v in (r[0], r[1])}
     import pandas as pd
 
     out = pd.DataFrame(

@@ -164,8 +164,21 @@ class DedupPipeline:
         # a small fraction of the corpus — behind a semi-join.
         sigs = self._stage(
             "minhash_sigs", lambda: minhash.minhash_signatures(docs, self.config)
-        ).persist()
-        bands = minhash.band_table(sigs).persist()
+        )
+        # consumers: the band chain (always), the truncated-signature frame
+        # (auto mode only), the skew metrics (collect_metrics only).  In
+        # always-mode-without-metrics the band chain is the lone reader and
+        # the Python signature stage should fuse straight into it.
+        if self.config.verify_mode != "always" or self.collect_metrics:
+            sigs = sigs.persist()
+            self._temp_persists.append(sigs)
+        bands = minhash.band_table(sigs)
+        if self.collect_metrics:
+            # the bucket-skew metrics re-read the band table; without them
+            # the candidate window is the only consumer and a persist just
+            # adds cache-write traffic + an extra materialization barrier
+            bands = bands.persist()
+            self._temp_persists.append(bands)
         pairs, bucket_metrics = minhash.candidate_pairs(bands, self.config)
         if self.collect_metrics:
             skew = bucket_metrics.filter(F.col("skipped")).agg(
@@ -186,7 +199,6 @@ class DedupPipeline:
             verified = minhash.verify_pairs_exact(pairs, docs, self.config).filter(
                 F.col("sim") >= t
             )
-            self._temp_persists += [sigs, bands]
             return verified.select(
                 "id_a",
                 "id_b",
@@ -216,7 +228,13 @@ class DedupPipeline:
         dense = (F.col("ns_a") >= self.config.num_perm) & (
             F.col("ns_b") >= self.config.num_perm
         )
-        est = minhash.estimate_similarity(pairs, sigs).persist()
+        # pre-truncated signature frame: ~8x smaller than the sig cache, so
+        # both estimate join sides read (and at small scale BROADCAST) 125
+        # bytes/doc instead of shuffling 1 KB/doc arrays; at corpus scale it
+        # exceeds the broadcast threshold and AQE keeps the shuffle join
+        sig8 = minhash.truncated_signatures(sigs).persist()
+        self._temp_persists.append(sig8)
+        est = minhash.estimate_similarity(pairs, sig8).persist()
         accepted = est.filter(dense & (F.col("sim") >= t + margin))
         accepted = self._count_metric("minhash", "accepted_by_estimate", accepted)
         ambiguous = est.filter(
@@ -242,9 +260,9 @@ class DedupPipeline:
         )
         # deferred to the end of run(): connected_components is what first
         # materializes the edge union, so dropping these caches here would
-        # silently recompute the candidate join (pairs/ambiguous are
-        # registered by _count_metric when persisted)
-        self._temp_persists += [sigs, bands, est]
+        # silently recompute the candidate join (sigs/pairs/ambiguous/bands/
+        # sig8 are registered where persisted)
+        self._temp_persists.append(est)
         return edges.select(
             "id_a",
             "id_b",
