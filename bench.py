@@ -221,6 +221,20 @@ def run_scaling(n_base: int) -> None:
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     results = {}
     for cores in LEVELS:
+        # inter-level hygiene: a prior level's tens-of-GB churn leaves the
+        # host reclaiming pages, and in this sandbox reclaim serializes
+        # first-touch faults — a level measured right after another reads
+        # 2-5x slow (observed: the same 8-core run 103-115 s on a quiet box
+        # vs 227-611 s straight after a 40-minute 2-core level).  Dropping
+        # the page cache + settling returns the box to the quiet-box state
+        # each level actually deserves.
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as dc:
+                os.sync()
+                dc.write("3")
+            time.sleep(15)
+        except OSError:
+            pass  # not privileged: measure anyway, walls are all reported
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
              sys.executable, os.path.abspath(__file__), "--run-one",
@@ -315,7 +329,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--data", type=str, default="/tmp/fms-bench-corpus")
     ap.add_argument("--n-base", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "150000")))
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "80000")))
     args = ap.parse_args()
 
     if args.run_one:

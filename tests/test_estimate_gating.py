@@ -88,3 +88,31 @@ def test_verify_mode_always_matches_auto_on_dense_corpus(spark):
             for r in res.edges.filter(F.col("detector") == "minhash").collect()
         }
     assert edges["auto"] == edges["always"]
+
+
+def test_truncated_signatures_estimate_parity(spark):
+    """estimate_similarity over the pre-truncated s8 frame must equal the
+    on-the-fly transform path exactly (same byte truncation, same agree
+    counts) — the s8 frame exists purely to shrink/broadcast the join."""
+    from fuzzy_matching_spark.fixtures.corpus import generate_corpus_df
+
+    config = DedupConfig()
+    docs = generate_corpus_df(spark, n_base=120, seed=11, partitions=4).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    sigs = minhash.minhash_signatures(docs, config).persist()
+    pairs, _ = minhash.candidate_pairs(minhash.band_table(sigs), config)
+    pairs = pairs.persist()
+
+    via_sig = minhash.estimate_similarity(pairs, sigs).collect()
+    s8 = minhash.truncated_signatures(sigs)
+    assert set(s8.columns) == {"doc_id", "s8", "n_shingles"}
+    via_s8 = minhash.estimate_similarity(pairs, s8).collect()
+
+    key = lambda r: (r["id_a"], r["id_b"])
+    a = {key(r): (r["sim"], r["ns_a"], r["ns_b"]) for r in via_sig}
+    b = {key(r): (r["sim"], r["ns_a"], r["ns_b"]) for r in via_s8}
+    assert len(a) > 0
+    assert a == b
+    sigs.unpersist()
+    pairs.unpersist()
