@@ -220,10 +220,15 @@ class SparkMatcher:
     (the whole pair stream fits in a task or two), while at corpus scale
     the rebalance is what keeps a hot block from serializing the Python
     scorer.  The decision reads the exact input counts, which are free:
-    d1/d2 are localCheckpoint-pinned and must materialize anyway.
+    d1/d2 are localCheckpoint-pinned and must materialize anyway.  The
+    default is deliberately conservative: row count under-measures scoring
+    cost for long-value fields (measured: skipping at 5k rows of document
+    text serialized the LCS kernel into a few block tasks, 2.4x the wall),
+    so only inputs small enough that even quadratic scoring is sub-second
+    skip the shuffle.
     """
 
-    def __init__(self, config: MatchConfig, rebalance_min_rows: int = 20_000):
+    def __init__(self, config: MatchConfig, rebalance_min_rows: int = 3_000):
         self.config = config
         self.rebalance_min_rows = rebalance_min_rows
         self.match_fields = [fc.field for fc in config.fields]
