@@ -226,11 +226,26 @@ class SparkMatcher:
     text serialized the LCS kernel into a few block tasks, 2.4x the wall),
     so only inputs small enough that even quadratic scoring is sub-second
     skip the shuffle.
+
+    ``pin_inputs``: persist the prepared inputs so the ``_fm_seq`` row ids
+    are computed once and every downstream consumer (scoring join,
+    consolidation join-backs, anti-joins) reads the same snapshot — the
+    determinism guard for inputs downstream of a shuffle/aggregation,
+    whose partition row order Spark does not promise to reproduce across
+    re-evaluations.  ``False`` skips the cache for callers that guarantee
+    deterministic sources (file scans, createDataFrame) and manage memory
+    tightly.
     """
 
-    def __init__(self, config: MatchConfig, rebalance_min_rows: int = 3_000):
+    def __init__(
+        self,
+        config: MatchConfig,
+        rebalance_min_rows: int = 3_000,
+        pin_inputs: bool = True,
+    ):
         self.config = config
         self.rebalance_min_rows = rebalance_min_rows
+        self.pin_inputs = pin_inputs
         self.match_fields = [fc.field for fc in config.fields]
         self.weights = {fc.field: fc.weight for fc in config.fields}
 
@@ -354,13 +369,21 @@ class SparkMatcher:
         # stable across re-evaluations for sources with deterministic
         # partition row order (file scans, createDataFrame).  The prepared
         # frames feed BOTH the scoring join here and the consolidation
-        # join-backs in match_and_consolidate, so pin them once with a lazy
-        # localCheckpoint: every consumer then reads the same materialized
-        # snapshot and the seqs cannot diverge even for shuffled inputs
-        # (ADVICE r2).  Cost: one extra materialization of the prepared
-        # inputs, shared by all downstream stages.
-        d1 = self._prepare(df1).localCheckpoint(eager=False)
-        d2 = self._prepare(df2).localCheckpoint(eager=False)
+        # join-backs in match_and_consolidate, so pin them (ADVICE r2):
+        # persist + the eager size-gating counts below populate the cache
+        # BEFORE any downstream consumer runs, so every stage reads the
+        # same snapshot and the seqs cannot diverge even for shuffled
+        # inputs — short of cache eviction under memory pressure, the one
+        # residual (documented) hazard.  localCheckpoint would close that
+        # too but measured 3-5x slower end-to-end (its lazy materialization
+        # races concurrent consumers; eager forfeits pipeline overlap).
+        # The persist intentionally outlives this call: the returned
+        # matches/consolidated plans keep referencing d1/d2.
+        d1 = self._prepare(df1)
+        d2 = self._prepare(df2)
+        if self.pin_inputs:
+            d1 = d1.persist()
+            d2 = d2.persist()
         if candidates is not None:
             return self._match_pairs_candidates(d1, d2, candidates)
         a = self._ranked(d1, "_lr")
