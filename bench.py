@@ -250,10 +250,18 @@ def run_scaling(n_base: int) -> None:
         for n in LEVELS
         if 4 * n in t
     }
-    best = max(effs.values())
+    if not effs:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_LEVELS={','.join(map(str, LEVELS))} contains no "
+            "(N, 4N) pair — add levels like 2,8 or 1,2,4,8 so a scaling "
+            "efficiency can be computed."
+        )
+    # gate on the WORST N->4N pair (ADVICE r3): with several configured
+    # pairs, max() would cherry-pick the most favorable one
+    worst = min(effs.values())
     summary = {
         "metric": "scaling_efficiency_N_to_4N_cores",
-        "value": best,
+        "value": worst,
         "unit": "ratio",
         "queries": {
             **{f"dedup_fenced{c}_files_per_sec": results[c]["files_per_sec"]
@@ -268,7 +276,7 @@ def run_scaling(n_base: int) -> None:
     clusters = {c: results[c]["clusters"] for c in LEVELS}
     identical = len(set(clusters.values())) == 1
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    met = "meets" if best >= 0.8 else "MISSES"
+    met = "meets" if worst >= 0.8 else "MISSES"
     eff_lines = "".join(
         f"**Scaling efficiency N={n} -> 4N={4 * n}: (T{n}/T{4 * n})/4 = "
         f"{effs[f'scaling_efficiency_{n}_to_{4 * n}_cores']}**\n\n"
@@ -310,7 +318,8 @@ def run_scaling(n_base: int) -> None:
             )
             + "\n"
             + eff_lines
-            + f"Best N -> 4N pair: {best} — {met} the >= 0.8 target in BASELINE.json.\n\n"
+            + f"Worst N -> 4N pair: {worst} — {met} the >= 0.8 target in BASELINE.json"
+            " (gated on the minimum across all configured pairs).\n\n"
             "Levels above 8 fenced cores are unusable as evidence in this sandbox:\n"
             "the hypervisor serializes first-touch page faults box-wide, so 32\n"
             "concurrent Python workers measure paging contention (~97% system\n"

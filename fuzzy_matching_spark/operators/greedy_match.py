@@ -99,18 +99,22 @@ def minhash_candidates(dedup_config=None, fields=None):
         sigs = minhash.minhash_signatures(un, cfg)
         pairs, _ = minhash.candidate_pairs(minhash.band_table(sigs), cfg)
         # candidate_pairs emits id_a < id_b; keep cross-side pairs in both
-        # orientations and map the tagged ids back to per-side seqs
+        # orientations and map the tagged ids back to per-side seqs.
+        # Integer un-tagging (shiftright, never `/ 2`): Spark's `/` is double
+        # division, and seqs above 2^52 (partition ids >= ~2^19 in
+        # monotonically_increasing_id — plausible at 10^12 rows) would be
+        # silently corrupted by the long->double->long round-trip.
         lr = pairs.filter(
             (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 1)
         ).select(
-            (F.col("id_a") / 2).cast("long").alias("left_seq"),
-            ((F.col("id_b") - 1) / 2).cast("long").alias("right_seq"),
+            F.shiftright(F.col("id_a"), 1).alias("left_seq"),
+            F.shiftright(F.col("id_b"), 1).alias("right_seq"),
         )
         rl = pairs.filter(
             (F.col("id_a") % 2 == 1) & (F.col("id_b") % 2 == 0)
         ).select(
-            (F.col("id_b") / 2).cast("long").alias("left_seq"),
-            ((F.col("id_a") - 1) / 2).cast("long").alias("right_seq"),
+            F.shiftright(F.col("id_b"), 1).alias("left_seq"),
+            F.shiftright(F.col("id_a"), 1).alias("right_seq"),
         )
         return lr.unionByName(rl)
 
@@ -248,6 +252,24 @@ class SparkMatcher:
         self.pin_inputs = pin_inputs
         self.match_fields = [fc.field for fc in config.fields]
         self.weights = {fc.field: fc.weight for fc in config.fields}
+        # every frame this matcher persists (pinned inputs, the greedy pair
+        # cache) — released by unpersist(); long-lived sessions that run many
+        # match jobs call it once the results are consumed, otherwise
+        # executor storage accumulates across invocations (ADVICE r3)
+        self._persisted: list[DataFrame] = []
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release every frame this matcher persisted.
+
+        Call after the returned matches/consolidated DataFrames have been
+        fully consumed (written/collected): their plans reference the pinned
+        inputs, so unpersisting earlier silently recomputes them — and for
+        shuffled sources may break the ``_fm_seq`` determinism guarantee the
+        pin exists to provide.
+        """
+        for df in self._persisted:
+            df.unpersist(blocking)
+        self._persisted.clear()
 
     # ------------------------------------------------------------------
     def _prepare(self, df: DataFrame) -> DataFrame:
@@ -384,6 +406,7 @@ class SparkMatcher:
         if self.pin_inputs:
             d1 = d1.persist()
             d2 = d2.persist()
+            self._persisted.extend([d1, d2])
         if candidates is not None:
             return self._match_pairs_candidates(d1, d2, candidates)
         a = self._ranked(d1, "_lr")
@@ -573,6 +596,7 @@ class SparkMatcher:
         # branches (winner pick + two anti-joins); persist its tiny output
         # (id pairs + sim) so the plan runs it once, not three times.
         pairs = pairs.persist()
+        self._persisted.append(pairs)
         cols = [c for c in d1.columns if c not in (SEQ, BK)]
 
         clean = cleanliness_col(self.match_fields, self.weights)

@@ -61,7 +61,10 @@ def test_lcs_pairs_matches_scalar():
         assert got[k] == fuzz.lcs_length(s1, s2)
 
 
-@pytest.mark.parametrize("algo", ["ratio", "token_sort_ratio", "token_set_ratio", "wratio"])
+@pytest.mark.parametrize(
+    "algo",
+    ["ratio", "partial_ratio", "token_sort_ratio", "token_set_ratio", "wratio"],
+)
 def test_score_matrix_matches_scalar_registry(algo):
     rng = random.Random(5)
     vals1 = _rand_strings(rng, 12, "ab cd", 0, 30)
@@ -76,6 +79,37 @@ def test_score_matrix_matches_scalar_registry(algo):
 def test_score_matrix_unknown_algo_falls_back_to_ratio():
     got = scoring.score_matrix("nonsense", ["abc"], ["abd"])
     assert got[0, 0] == fuzz.ratio("abc", "abd")
+
+
+def test_partial_ratio_pairs_expand_cap_boundary(monkeypatch):
+    """Both partial_ratio branches — window expansion AND the _EXPAND_CAP
+    scalar fallback — must be float-identical to fuzz.partial_ratio on the
+    same inputs (ADVICE r3: the fallback boundary had no direct parity
+    coverage)."""
+    from fuzzy_matching_spark.kernel import batchfuzz
+
+    rng = random.Random(17)
+    left = _rand_strings(rng, 20, "abx cdy", 5, 60)
+    right = _rand_strings(rng, 20, "abz cdy", 5, 60)
+    # crafted small non-substring pairs that stay UNDER the lowered cap
+    # ((m1+m2-1)*m1 <= 30) so the expanded branch is exercised there too
+    left += ["ab", "bca", "xy z"]
+    right += ["ba", "acb", "z yx"]
+    want = np.array([fuzz.partial_ratio(a, b) for a, b in zip(left, right)])
+
+    expanded = batchfuzz.partial_ratio_pairs(left, right)
+    assert (expanded == want).all()
+
+    # force every pair with (m1+m2-1)*m1 > 30 through the scalar fallback;
+    # with 5..60-char strings the batch straddles the cap in both directions
+    monkeypatch.setattr(batchfuzz, "_EXPAND_CAP", 30)
+    sizes = [
+        (min(len(a), len(b)) + max(len(a), len(b)) - 1) * min(len(a), len(b))
+        for a, b in zip(left, right)
+    ]
+    assert any(s > 30 for s in sizes) and any(0 < s <= 30 for s in sizes)
+    fallback = batchfuzz.partial_ratio_pairs(left, right)
+    assert (fallback == want).all()
 
 
 def test_config_score_matrix_matches_weighted_similarity():
