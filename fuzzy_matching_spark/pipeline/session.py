@@ -52,6 +52,14 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # workers fork from a daemon that has already imported
+        # numpy/pandas/pyarrow + our kernels: the pages are shared COW, so
+        # the first Python stage doesn't pay N_workers x (import + first-
+        # touch page faults) — see worker_daemon.py
+        .config(
+            "spark.python.daemon.module",
+            "fuzzy_matching_spark.pipeline.worker_daemon",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
