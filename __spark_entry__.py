@@ -424,6 +424,43 @@ def q_greedy_match_tokensort_oracle(spark, sf_dir):
     )
 
 
+def q_greedy_match_lsh_oracle(spark, sf_dir):
+    """J3-LSH through the PUBLIC API (``api.match_datasets(...,
+    candidate_source="lsh")``, VERDICT r3 #1/#3): MinHash/LSH band
+    collisions generate the candidates, the weighted-field scorer verifies
+    them, and the component-wise greedy assigns 1:1 — the north rule's
+    stated end state, exercised end-to-end by the driver.
+
+    Fixture: each side's single match field is ``str(doc_id div 2)``, so
+    the true pairs are exactly (2k, 2k+1).  Identical strings produce
+    identical OPH signatures, hence land in identical band buckets — LSH
+    recall is exactly 1 by construction, with no cap exposure (each value's
+    bucket holds one row per side).  At threshold 1.0 a pair survives iff
+    the fields are string-equal, so the output is the deterministic
+    (even, odd) pairing the SQL twin reproduces with a div-2 equi-join."""
+    from fuzzy_matching_spark import api
+
+    d = _t(spark, sf_dir, "documents")
+    val = F.shiftright(F.col("doc_id"), 1).cast("string")
+    d1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", val.alias("val"))
+    d2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", val.alias("val"))
+    config = MatchConfig(
+        fields=[MatchFieldConfig("val", 1.0)],
+        threshold=1.0,
+        sort_before_match=True,
+        sort_field="doc_id",
+        fuzzy_algorithm=FuzzyAlgorithm.RATIO,
+    )
+    matches, _ = api.match_datasets(
+        spark, d1, d2, config=config, candidate_source="lsh"
+    )
+    return matches.select(
+        F.col("Оригинал.doc_id").cast("long").alias("orig_doc_id"),
+        F.col("Вариант.doc_id").cast("long").alias("var_doc_id"),
+        F.round("Схожесть", 6).alias("sim"),
+    )
+
+
 def q_ann_hyperplane(spark, sf_dir):
     """Oracle-parity query: ``max_bucket_size=None`` because the DuckDB twin
     enumerates ALL band-bucket pairs — with the default cap the two would
@@ -481,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_match_documents": q_greedy_match_documents,
         "greedy_match_rank_oracle": q_greedy_match_rank,
         "greedy_match_tokensort_oracle": q_greedy_match_tokensort_oracle,
+        "greedy_match_lsh_oracle": q_greedy_match_lsh_oracle,
         "ann_hyperplane": q_ann_hyperplane,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
     }
@@ -764,6 +802,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.96                          -- token_sort('epsilon zeta','zeta epsilonn')
                         END AS DOUBLE) AS sim
             FROM d1 JOIN d2 ON d1.grp = d2.grp AND d1.rn = d2.rn
+        """,
+        "greedy_match_lsh_oracle": """
+            SELECT a.doc_id AS orig_doc_id, b.doc_id AS var_doc_id, 1.0 AS sim
+            FROM documents a JOIN documents b
+              ON a.doc_id // 2 = b.doc_id // 2
+            WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         """,
         "ann_hyperplane": _ann_oracle_sql(),
         "dedup_cluster_sizes": f"""

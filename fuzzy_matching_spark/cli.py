@@ -161,6 +161,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--name-fields", dest="name_fields")
     ap.add_argument("--threshold", type=float, default=0.7)  # CLI default, process_data.py:291
     ap.add_argument("--block-field", dest="block_field")
+    ap.add_argument(
+        "--candidate-source", dest="candidate_source", default="block",
+        choices=["block", "lsh"],
+        help="candidate generation: 'block' = reference blocking semantics; "
+        "'lsh' = MinHash/LSH band collisions over the match fields "
+        "(corpus-scale path; same scoring + greedy assignment either way)",
+    )
     ap.add_argument("--algorithm", default="RATIO")  # CLI default, process_data.py:332
     ap.add_argument("--transliteration", action="store_true")
     ap.add_argument("--standard", default="Passport")
@@ -205,7 +212,8 @@ def main(argv: list[str] | None = None) -> int:
             fuzzy_algorithm=main_algorithm,
         )
         matches, consolidated = api.match_datasets(
-            spark, args.input1, args.input2, config=config, field_mapping=name_fields
+            spark, args.input1, args.input2, config=config, field_mapping=name_fields,
+            candidate_source=args.candidate_source,
         )
         n_matches = matches.persist().count()
         api.save_results(
