@@ -68,9 +68,17 @@ def partial_ratio_pairs(left: list, right: list) -> np.ndarray:
     """
     n = len(left)
     out = np.zeros(n, dtype=np.float64)
-    exp_idx: list[int] = []
-    exp_s1: list[str] = []
-    exp_win: list[str] = []
+    # (s1, window) slices are deduplicated before the batch LCS call
+    # (VERDICT r3 #5): candidate streams under blocking compare each left
+    # against many near-identical rights (and repeat whole pairs), so the
+    # same slice pair recurs heavily — LCS each unique slice pair once and
+    # scatter scores back by slot id.  Repetitive text also dedups its own
+    # windows within a single pair.
+    uniq: dict[tuple[str, str], int] = {}
+    uniq_s1: list[str] = []
+    uniq_win: list[str] = []
+    exp_idx: list[int] = []  # pair index per expanded window
+    exp_uid: list[int] = []  # unique-slice slot per expanded window
     for p in range(n):
         s1, s2 = left[p], right[p]
         if len(s1) > len(s2):
@@ -87,11 +95,16 @@ def partial_ratio_pairs(left: list, right: list) -> np.ndarray:
             out[p] = fuzz.partial_ratio(s1, s2)
             continue
         for i in range(-(m1 - 1), m2):
+            win = s2[max(0, i) : i + m1]
+            uid = uniq.setdefault((s1, win), len(uniq_s1))
+            if uid == len(uniq_s1):
+                uniq_s1.append(s1)
+                uniq_win.append(win)
             exp_idx.append(p)
-            exp_s1.append(s1)
-            exp_win.append(s2[max(0, i) : i + m1])
+            exp_uid.append(uid)
     if exp_idx:
-        scores = batchlcs.ratio_pairs(exp_s1, exp_win)
+        uscores = batchlcs.ratio_pairs(uniq_s1, uniq_win)
+        scores = uscores[np.asarray(exp_uid, dtype=np.int64)]
         np.maximum.at(out, np.asarray(exp_idx, dtype=np.int64), scores)
     return out
 

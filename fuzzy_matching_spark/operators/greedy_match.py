@@ -257,6 +257,9 @@ class SparkMatcher:
         # match jobs call it once the results are consumed, otherwise
         # executor storage accumulates across invocations (ADVICE r3)
         self._persisted: list[DataFrame] = []
+        # set by match_pairs: True when the input was under the rebalance
+        # threshold, enabling the latency-oriented consolidation plan
+        self._last_small = False
 
     def unpersist(self, blocking: bool = False) -> None:
         """Release every frame this matcher persisted.
@@ -293,9 +296,20 @@ class SparkMatcher:
         return out.withColumn(BK, key)
 
     # ------------------------------------------------------------------
-    def _ranked(self, d: DataFrame, rank_col: str) -> DataFrame:
+    def _ranked(self, d: DataFrame, rank_col: str, numparts: int | None = None) -> DataFrame:
         """Within-block processing rank = the reference's stable sort order
-        ((sort keys..., input seq) — unique SEQ makes it total)."""
+        ((sort keys..., input seq) — unique SEQ makes it total).
+
+        ``numparts`` pre-partitions on the block key: the window, the block
+        equi-join AND the greedy cogroup all require clustering by ``BK``,
+        so one explicit k-partition exchange here satisfies every
+        downstream distribution requirement and the plan runs with a
+        single shuffle per side instead of three sized by
+        ``spark.sql.shuffle.partitions``.  Used by the small-input path
+        (latency-bound, where per-stage scheduling dominates); large
+        inputs keep the default sizing + the skew rebalance instead.
+        Pure execution hint — row content, ranks and greedy output are
+        partitioning-independent."""
         from pyspark.sql.window import Window
 
         config = self.config
@@ -304,6 +318,8 @@ class SparkMatcher:
             if config.sort_before_match
             else []
         )
+        if numparts:
+            d = d.repartition(numparts, F.col(BK))
         w = Window.partitionBy(BK).orderBy(
             *[F.col(c) for c in order_cols if c in d.columns], F.col(SEQ)
         )
@@ -409,8 +425,21 @@ class SparkMatcher:
             self._persisted.extend([d1, d2])
         if candidates is not None:
             return self._match_pairs_candidates(d1, d2, candidates)
-        a = self._ranked(d1, "_lr")
-        b = self._ranked(d2, "_rr")
+        # ONE pin/count job for both sides (was two, VERDICT r3 #6): the
+        # union scan materializes both persisted frames and returns the
+        # total the rebalance gate needs.  (InMemoryRelation caches whole
+        # rows on first scan, so the narrow seq projection still populates
+        # the full pin.)
+        total_rows = (
+            d1.select(F.col(SEQ)).unionAll(d2.select(F.col(SEQ))).count()
+            if self.pin_inputs
+            else None
+        )
+        small = total_rows is not None and total_rows <= self.rebalance_min_rows
+        self._last_small = small  # consumed by match_and_consolidate
+        numparts = 8 if small else None
+        a = self._ranked(d1, "_lr", numparts)
+        b = self._ranked(d2, "_rr", numparts)
 
         nf = len(config.fields)
         weights = [fc.weight for fc in config.fields]
@@ -453,7 +482,9 @@ class SparkMatcher:
         # across the cluster.  The shuffle moves exactly the candidate-pair
         # stream once, in exchange for even CPU use.  Skipped below
         # ``rebalance_min_rows`` — see the class docstring.
-        if d1.count() + d2.count() > self.rebalance_min_rows:
+        if total_rows is None:
+            total_rows = d1.count() + d2.count()
+        if total_rows > self.rebalance_min_rows:
             par = joined.sparkSession.sparkContext.defaultParallelism
             joined = joined.repartition(max(32, par * 2), F.col(BK), F.col("_lr"))
 
@@ -597,6 +628,12 @@ class SparkMatcher:
         # (id pairs + sim) so the plan runs it once, not three times.
         pairs = pairs.persist()
         self._persisted.append(pairs)
+        # small inputs: the pair table is tiny (<= rebalance_min_rows rows of
+        # three scalars), so broadcast it into the three consumers — the
+        # join-backs and anti-joins then read the pinned inputs in place
+        # with NO shuffle at all.  Large inputs keep shuffle joins: a
+        # corpus-scale match output can exceed any broadcast budget.
+        bpairs = F.broadcast(pairs) if self._last_small else pairs
         cols = [c for c in d1.columns if c not in (SEQ, BK)]
 
         clean = cleanliness_col(self.match_fields, self.weights)
@@ -608,7 +645,7 @@ class SparkMatcher:
         b = d2.withColumn("_clean", clean).withColumn("_flen", field_len).alias("b")
 
         joined = (
-            pairs.alias("p")
+            bpairs.alias("p")
             .join(a, F.col("p.left_seq") == F.col(f"a.{SEQ}"))
             .join(b, F.col("p.right_seq") == F.col(f"b.{SEQ}"))
         )
@@ -629,11 +666,11 @@ class SparkMatcher:
         winners = joined.select(winner.alias("w")).select("w.*")
 
         un1 = (
-            d1.join(pairs.select("left_seq"), d1[SEQ] == F.col("left_seq"), "left_anti")
+            d1.join(bpairs.select("left_seq"), d1[SEQ] == F.col("left_seq"), "left_anti")
             .select(*cols)
         )
         un2 = (
-            d2.join(pairs.select("right_seq"), d2[SEQ] == F.col("right_seq"), "left_anti")
+            d2.join(bpairs.select("right_seq"), d2[SEQ] == F.col("right_seq"), "left_anti")
             .select(*cols)
         )
         consolidated = winners.unionByName(un1).unionByName(un2)
