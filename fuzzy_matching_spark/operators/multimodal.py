@@ -2,11 +2,14 @@
 
 Training-data pipelines carry image/audio/video as opaque ``binary`` columns
 with typed metadata structs; the Spark-side contract (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested here, while the codec
-step itself is stubbed — the image/audio libraries are not in this
-container, so ``decode_image``/``extract_audio_features`` either raise
-``NotImplementedError`` (strict mode) or produce a deterministic fake
-derived from the payload bytes (test mode), clearly marked.
+Arrow batch shape, UDF signatures) is real and tested here.  Codec-free
+public raster formats — binary NetPBM (P6/P5) and uncompressed 24-bit BMP —
+decode NATIVELY in pure numpy (:func:`decode_ppm` / :func:`decode_bmp`),
+feeding :func:`image_grid_features` (mean-luma grid pooling) for real
+feature vectors.  Formats that require a codec library (png/jpeg/audio)
+remain stubbed in this container: ``strict=True`` raises
+``NotImplementedError`` for them, ``strict=False`` substitutes a
+deterministic fake derived from the payload digest, clearly marked.
 
 Operators:
 
@@ -41,6 +44,9 @@ MEDIA_MAGIC = {
     "jpeg": b"\xff\xd8\xff",
     "gif": b"GIF8",
     "riff": b"RIFF",  # wav/avi containers
+    "ppm": b"P6",  # binary NetPBM (decoded natively below)
+    "pgm": b"P5",
+    "bmp": b"BM",
 }
 
 
@@ -58,6 +64,106 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
         .withColumn("media_sha256", F.sha2(F.col(payload_col), 256))
         .withColumn("media_kind", kind)
     )
+
+
+# ---------------------------------------------------------------------------
+# native decoders — codec-free public formats, pure numpy (VERDICT r3 #7)
+# ---------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary NetPBM (P6 rgb / P5 gray) -> uint8 array (H, W, 3) / (H, W).
+
+    Full header grammar: magic, then width/height/maxval tokens separated
+    by whitespace, with ``#`` comments allowed between tokens; a single
+    whitespace byte terminates the header.  maxval <= 255 supported (the
+    16-bit variant is rare and would double the sample width)."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit NetPBM not supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    img = raster.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> uint8 array (H, W, 3) in RGB order.
+
+    Windows BITMAPINFOHEADER layout: pixel-array offset at byte 10,
+    width/height (int32) at 18/22, bpp at 28, compression (must be BI_RGB=0)
+    at 30.  Rows are 4-byte padded and stored bottom-up (top-down when
+    height < 0); samples are BGR on disk."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # 4-byte padded
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=pix_off
+    ).reshape(height, row_bytes)
+    img = raster[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR->RGB
+    return img if top_down else img[::-1]
+
+
+def image_grid_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Image -> ``dim`` float32 features in [0, 1]: mean luma over a
+    sqrt(dim) x sqrt(dim) grid (ITU-R BT.601 weights for color inputs).
+
+    Grid pooling instead of resampling keeps the operator exact and
+    library-free; cells cover the image via integer bucket boundaries, so
+    any H x W maps to the fixed width the downstream ANN expects."""
+    side = int(dim**0.5)
+    if side * side != dim:
+        raise ValueError(f"dim must be a perfect square, got {dim}")
+    if img.ndim == 3:
+        luma = (
+            0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        )
+    else:
+        luma = img.astype(np.float64)
+    h, w = luma.shape
+    rb = np.minimum((np.arange(h) * side) // max(h, 1), side - 1)
+    cb = np.minimum((np.arange(w) * side) // max(w, 1), side - 1)
+    cell = rb[:, None] * side + cb[None, :]
+    sums = np.bincount(cell.ravel(), weights=luma.ravel(), minlength=dim)
+    counts = np.bincount(cell.ravel(), minlength=dim)
+    out = np.zeros(dim, dtype=np.float64)
+    np.divide(sums, counts, out=out, where=counts > 0)
+    return (out / 255.0).astype(np.float32)
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Dispatch on magic bytes; None when no native decoder applies."""
+    head = payload[:2] if payload else b""
+    if head in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if head == b"BM":
+        return decode_bmp(payload)
+    return None
 
 
 def _stub_decode(payload: bytes, dim: int) -> np.ndarray:
@@ -81,19 +187,30 @@ def decode_image_features(
 ) -> DataFrame:
     """Binary payloads -> fixed-width float feature vectors (Arrow batches).
 
-    ``strict=True`` raises ``NotImplementedError`` (no codec in this
-    container); ``strict=False`` uses the deterministic stub so the full
-    pipeline — schema, shuffle, downstream ANN — can be exercised.
+    PPM/PGM/BMP payloads decode NATIVELY (pure-numpy :func:`decode_ppm` /
+    :func:`decode_bmp` -> :func:`image_grid_features`).  Other formats need
+    a codec library this container doesn't have: ``strict=True`` raises
+    ``NotImplementedError`` for them, ``strict=False`` substitutes the
+    deterministic stub so the full pipeline — schema, shuffle, downstream
+    ANN — can still be exercised.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "image codec not available in this environment; "
-                "run with strict=False for the deterministic stub"
-            )
         for pdf in batches:
-            feats = [_stub_decode(p, dim) for p in pdf[payload_col]]
+            feats = []
+            for p in pdf[payload_col]:
+                img = decode_image(p)
+                if img is not None:
+                    feats.append(image_grid_features(img, dim))
+                elif strict:
+                    raise NotImplementedError(
+                        "no native decoder for this payload (PPM/PGM/BMP "
+                        "supported) and no codec library in this "
+                        "environment; run with strict=False for the "
+                        "deterministic stub"
+                    )
+                else:
+                    feats.append(_stub_decode(p, dim))
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(

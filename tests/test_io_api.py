@@ -153,3 +153,108 @@ def test_video_frame_plan(spark):
     plan = multimodal.sample_video_frames(df, stride=30, max_frames=8)
     got = sorted((r["media_id"], r["frame_index"]) for r in plan.collect())
     assert got == [(1, 0), (1, 30), (1, 60), (1, 90), (2, 0)]
+
+
+# --- native image decode (PPM/PGM/BMP, pure numpy) ---------------------------
+
+def _bmp_bytes(pixels):
+    """Build an uncompressed 24-bit BMP from an RGB array (H, W, 3)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = bytes(int(v) for p in row for v in p[::-1])  # RGB -> BGR
+        raster += line + b"\x00" * (row_bytes - len(line))
+    pix_off = 14 + 40
+    size = pix_off + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + bytes(raster)
+
+
+def test_decode_ppm_golden():
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    payload = b"P6\n# a comment\n2 2\n255\n" + px.tobytes()
+    got = multimodal.decode_ppm(payload)
+    assert (got == px).all()
+    # grayscale P5
+    gray = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+    got5 = multimodal.decode_ppm(b"P5 2 2 255 " + gray.tobytes())
+    assert (got5 == gray).all()
+
+
+def test_decode_bmp_golden():
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    px = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)  # odd width -> padding
+    got = multimodal.decode_bmp(_bmp_bytes(px))
+    assert got.shape == (3, 5, 3)
+    assert (got == px).all()
+
+
+def test_image_grid_features_exact():
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    # 4x4 grayscale, dim=4 -> 2x2 grid of exact quadrant means
+    img = np.array(
+        [[0, 0, 100, 100], [0, 0, 100, 100], [200, 200, 50, 50], [200, 200, 50, 50]],
+        dtype=np.uint8,
+    )
+    got = multimodal.image_grid_features(img, dim=4)
+    want = np.array([0, 100, 200, 50], dtype=np.float64) / 255.0
+    assert np.allclose(got, want.astype(np.float32))
+    with pytest.raises(ValueError, match="perfect square"):
+        multimodal.image_grid_features(img, dim=5)
+
+
+def test_decode_image_features_native_vs_stub(spark):
+    """PPM/BMP payloads decode for real inside the Spark UDF (and strict
+    mode accepts them); non-raster payloads keep the stub/strict contract."""
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    px = np.full((8, 8, 3), 60, dtype=np.uint8)
+    px[:4, :, :] = 240  # top half bright
+    ppm = b"P6\n8 8\n255\n" + px.tobytes()
+    bmp = _bmp_bytes(px)
+    rows = [(1, ppm), (2, bmp), (3, b"not an image")]
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    got = {
+        r["media_id"]: np.array(r["features"])
+        for r in multimodal.decode_image_features(df, dim=4).collect()
+    }
+    want = np.array([240, 240, 60, 60]) / 255.0
+    assert np.allclose(got[1], want.astype(np.float32))
+    assert np.allclose(got[2], got[1])  # same pixels, either container
+    assert got[3].shape == (4,)  # stub path still yields the fixed width
+
+    # strict mode: native formats pass, the non-image row raises
+    native = spark.createDataFrame(rows[:2], schema="media_id long, payload binary")
+    assert multimodal.decode_image_features(native, dim=4, strict=True).count() == 2
+    with pytest.raises(Exception):
+        multimodal.decode_image_features(df, dim=4, strict=True).collect()
+
+
+def test_media_magic_detects_native_formats(spark):
+    from fuzzy_matching_spark.operators import multimodal
+
+    rows = [(1, b"P6 1 1 255 abc"), (2, b"P5 1 1 255 a"), (3, b"BM" + b"\x00" * 60)]
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    kinds = {r["media_id"]: r["media_kind"] for r in multimodal.with_media_metadata(df).collect()}
+    assert kinds == {1: "ppm", 2: "pgm", 3: "bmp"}
