@@ -423,6 +423,10 @@ class SparkMatcher:
             d1 = d1.persist()
             d2 = d2.persist()
             self._persisted.extend([d1, d2])
+        # reset BEFORE branching: a stale True from an earlier small blocked
+        # run must not leak a broadcast hint onto a (possibly huge)
+        # candidates-mode pair table in match_and_consolidate
+        self._last_small = False
         if candidates is not None:
             return self._match_pairs_candidates(d1, d2, candidates)
         # ONE pin/count job for both sides (was two, VERDICT r3 #6): the
