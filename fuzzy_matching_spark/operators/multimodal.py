@@ -3,13 +3,14 @@
 Training-data pipelines carry image/audio/video as opaque ``binary`` columns
 with typed metadata structs; the Spark-side contract (schema, partitioning,
 Arrow batch shape, UDF signatures) is real and tested here.  Codec-free
-public raster formats — binary NetPBM (P6/P5) and uncompressed 24-bit BMP —
-decode NATIVELY in pure numpy (:func:`decode_ppm` / :func:`decode_bmp`),
-feeding :func:`image_grid_features` (mean-luma grid pooling) for real
-feature vectors.  Formats that require a codec library (png/jpeg/audio)
-remain stubbed in this container: ``strict=True`` raises
-``NotImplementedError`` for them, ``strict=False`` substitutes a
-deterministic fake derived from the payload digest, clearly marked.
+public formats decode NATIVELY in pure numpy: binary NetPBM (P6/P5) and
+uncompressed 24-bit BMP rasters (:func:`decode_ppm` / :func:`decode_bmp` ->
+:func:`image_grid_features` mean-luma grid pooling), and RIFF/WAVE PCM audio
+(:func:`decode_wav` -> :func:`audio_band_features` per-window RMS energy).
+Formats that require a codec library (png/jpeg/mp3/...) remain stubbed in
+this container: ``strict=True`` raises ``NotImplementedError`` for them,
+``strict=False`` substitutes a deterministic fake derived from the payload
+digest, clearly marked.
 
 Operators:
 
@@ -35,6 +36,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_media_metadata",
     "decode_image_features",
+    "decode_audio_features",
     "sample_video_frames",
     "MEDIA_MAGIC",
 ]
@@ -59,6 +61,15 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
             F.hex(F.substring(F.col(payload_col), 1, len(magic))) == hexpref.upper(),
             F.lit(name),
         ).otherwise(kind)
+    # RIFF is a container: the form type at bytes 8..11 names the payload
+    form = F.hex(F.substring(F.col(payload_col), 9, 4))
+    kind = (
+        F.when(kind == "riff",
+               F.when(form == b"WAVE".hex().upper(), F.lit("wav"))
+                .when(form == b"AVI ".hex().upper(), F.lit("avi"))
+                .otherwise(F.lit("riff")))
+        .otherwise(kind)
+    )
     return (
         df.withColumn("media_size", F.length(F.col(payload_col)))
         .withColumn("media_sha256", F.sha2(F.col(payload_col), 256))
@@ -127,6 +138,77 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     ).reshape(height, row_bytes)
     img = raster[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR->RGB
     return img if top_down else img[::-1]
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE -> (mono float32 samples in [-1, 1], sample_rate).
+
+    Chunk walk per the RIFF grammar (4-byte id, uint32le size, data padded
+    to even length); requires a ``fmt `` chunk before ``data``.  Supported
+    encodings are the codec-free ones: integer PCM (format 1) at 8/16/32
+    bits and IEEE float32 (format 3).  8-bit PCM is unsigned per the spec;
+    wider widths are signed.  Multi-channel audio is mixed down by mean,
+    matching the luma reduction on the image side.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = (
+                int.from_bytes(body[0:2], "little"),  # audio format tag
+                int.from_bytes(body[2:4], "little"),  # channels
+                int.from_bytes(body[4:8], "little"),  # sample rate
+                int.from_bytes(body[14:16], "little"),  # bits per sample
+            )
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            tag, channels, rate, bits = fmt
+            if tag == 1 and bits == 8:
+                x = np.frombuffer(body, dtype=np.uint8).astype(np.float32)
+                x = (x - 128.0) / 128.0
+            elif tag == 1 and bits == 16:
+                x = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32768.0
+            elif tag == 1 and bits == 32:
+                x = np.frombuffer(body, dtype="<i4").astype(np.float32) / 2147483648.0
+            elif tag == 3 and bits == 32:
+                x = np.frombuffer(body, dtype="<f4").astype(np.float32)
+            else:
+                raise ValueError(
+                    f"unsupported WAV encoding (format={tag}, bits={bits}); "
+                    "PCM 8/16/32 and float32 decode natively"
+                )
+            if channels > 1:
+                x = x[: (len(x) // channels) * channels]
+                x = x.reshape(-1, channels).mean(axis=1)
+            return x.astype(np.float32), rate
+        pos += 8 + size + (size & 1)  # chunks are padded to even offsets
+    raise ValueError("WAV payload has no data chunk")
+
+
+def audio_band_features(samples: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Waveform -> ``dim`` float32 features in [0, 1]: per-window RMS energy.
+
+    The signal is split into ``dim`` contiguous windows with integer bucket
+    boundaries (same scheme as :func:`image_grid_features` cells), so any
+    length maps to the fixed width the downstream ANN expects.  RMS of
+    samples in [-1, 1] is already in [0, 1] — exact and library-free.
+    """
+    n = len(samples)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    win = np.minimum((np.arange(n) * dim) // n, dim - 1)
+    sq = samples.astype(np.float64) ** 2
+    sums = np.bincount(win, weights=sq, minlength=dim)
+    counts = np.bincount(win, minlength=dim)
+    out = np.zeros(dim, dtype=np.float64)
+    np.divide(sums, counts, out=out, where=counts > 0)
+    return np.sqrt(out).astype(np.float32)
 
 
 def image_grid_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
@@ -215,6 +297,51 @@ def decode_image_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         decode, schema=f"`{id_col}` long, features array<float>"
+    )
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """Binary audio payloads -> fixed-width feature vectors (Arrow batches).
+
+    RIFF/WAVE PCM payloads decode NATIVELY (pure-numpy :func:`decode_wav`
+    -> :func:`audio_band_features`); compressed formats (mp3/ogg/flac) need
+    a codec library this container doesn't have: ``strict=True`` raises
+    ``NotImplementedError`` for them, ``strict=False`` substitutes the
+    deterministic stub so the full pipeline can still be exercised.  The
+    output schema adds ``sample_rate`` (null for stubbed rows) so the
+    downstream resampler can plan without re-reading payloads.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, rates = [], []
+            for p in pdf[payload_col]:
+                if p and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    samples, rate = decode_wav(p)
+                    feats.append(audio_band_features(samples, dim))
+                    rates.append(rate)
+                elif strict:
+                    raise NotImplementedError(
+                        "no native decoder for this payload (RIFF/WAVE PCM "
+                        "supported) and no codec library in this "
+                        "environment; run with strict=False for the "
+                        "deterministic stub"
+                    )
+                else:
+                    feats.append(_stub_decode(p, dim))
+                    rates.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": feats, "sample_rate": rates}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, schema=f"`{id_col}` long, features array<float>, sample_rate int"
     )
 
 

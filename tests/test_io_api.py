@@ -258,3 +258,91 @@ def test_media_magic_detects_native_formats(spark):
     df = spark.createDataFrame(rows, schema="media_id long, payload binary")
     kinds = {r["media_id"]: r["media_kind"] for r in multimodal.with_media_metadata(df).collect()}
     assert kinds == {1: "ppm", 2: "pgm", 3: "bmp"}
+
+
+# --- native audio decode (RIFF/WAVE PCM, pure numpy) -------------------------
+
+def _wav_bytes(samples, rate=8000, bits=16, channels=1, fmt_tag=1):
+    """Build a RIFF/WAVE payload from a float array in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if fmt_tag == 3:
+        bits = 32
+        raw = x.astype("<f4").tobytes()
+    elif bits == 8:
+        raw = (np.round(x * 127) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        raw = np.round(x * 32767).astype("<i2").tobytes()
+    else:
+        raw = np.round(x * 2147483647).astype("<i4").tobytes()
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate, rate * block, block, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw + b"\x00" * (len(raw) & 1)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_golden():
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    x = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 0.25])
+    got, rate = multimodal.decode_wav(_wav_bytes(x, rate=44100, bits=16))
+    assert rate == 44100
+    assert np.allclose(got, x, atol=1.5 / 32768)
+    # 8-bit unsigned and float32 encodings
+    got8, _ = multimodal.decode_wav(_wav_bytes(x, bits=8))
+    assert np.allclose(got8, x, atol=1.5 / 128)
+    gotf, _ = multimodal.decode_wav(_wav_bytes(x, fmt_tag=3))
+    assert np.allclose(gotf, x)
+    # stereo mixes down by mean: interleaved [L0 R0 L1 R1 ...]
+    st = np.array([0.5, -0.5, 1.0, 0.0])
+    got2, _ = multimodal.decode_wav(_wav_bytes(st, channels=2))
+    assert np.allclose(got2, [0.0, 0.5], atol=1.5 / 32768)
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        multimodal.decode_wav(b"RIFFxxxxAVI " + b"\x00" * 16)
+
+
+def test_audio_band_features_exact():
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    # 4 constant-amplitude blocks -> RMS == |amplitude| per window
+    x = np.repeat([0.0, 0.5, -1.0, 0.25], 100)
+    got = multimodal.audio_band_features(x, dim=4)
+    assert np.allclose(got, np.float32([0.0, 0.5, 1.0, 0.25]))
+    assert multimodal.audio_band_features(np.array([]), dim=4).tolist() == [0] * 4
+
+
+def test_decode_audio_features_native_vs_stub(spark):
+    """WAV payloads decode for real inside the Spark UDF (strict accepts
+    them, sample_rate surfaced); other payloads keep the stub contract."""
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    x = np.repeat([0.5, -0.25], 200)
+    rows = [(1, _wav_bytes(x, rate=16000)), (2, b"not audio")]
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.decode_audio_features(df, dim=2).collect()}
+    assert np.allclose(np.array(got[1]["features"]), [0.5, 0.25], atol=1e-4)
+    assert got[1]["sample_rate"] == 16000
+    assert len(got[2]["features"]) == 2 and got[2]["sample_rate"] is None
+
+    native = spark.createDataFrame(rows[:1], schema="media_id long, payload binary")
+    assert multimodal.decode_audio_features(native, strict=True).count() == 1
+    with pytest.raises(Exception):
+        multimodal.decode_audio_features(df, strict=True).collect()
+
+    kinds = {
+        r["media_id"]: r["media_kind"]
+        for r in multimodal.with_media_metadata(df).collect()
+    }
+    assert kinds == {1: "wav", 2: "unknown"}
