@@ -97,9 +97,14 @@ def run_headline() -> None:
     # Two passes, per-query MIN (protocol change in r4, documented): this
     # sandbox's host contention swings identical runs 2-4x (measured
     # dedup_cluster_sizes 22-60 s back-to-back with zero code change), so a
-    # single cold pass compares luck, not code.  Min-of-2 after warm-up
-    # approximates steady-state engine cost; both pass totals are reported
-    # alongside for transparency.
+    # single cold pass compares luck, not code.  Contention is strictly
+    # additive, so min-of-2 after warm-up approximates the engine's own
+    # cost; both pass totals are reported alongside for transparency.
+    # Caches are CLEARED between passes: pass 2 must re-do every persist /
+    # shuffle pass 1 did, so the min compares two structurally identical
+    # cold-cache runs rather than crediting pass 2 with pass 1's cached
+    # frames (an earlier draft skipped the clear and read e.g. a 0.9 s
+    # greedy_match that was really a cache hit).
     passes: list[dict[str, float]] = []
     for _ in range(2):
         timings: dict[str, float] = {}
@@ -108,6 +113,7 @@ def run_headline() -> None:
             _force(qs[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
         passes.append(timings)
+        spark.catalog.clearCache()
 
     best = {n: min(p[n] for p in passes) for n in HEADLINE}
     total = round(sum(best.values()), 3)
@@ -119,7 +125,7 @@ def run_headline() -> None:
                 "unit": "sec",
                 "queries": best,
                 "sf": sf,
-                "protocol": "min_of_2_passes_after_warmup (r4; see bench.py)",
+                "protocol": "min_of_2_cold-cache_passes_after_warmup (r4; see bench.py)",
                 "pass_totals": [round(sum(p.values()), 3) for p in passes],
             }
         )
@@ -186,22 +192,37 @@ def run_one(cores: int, data: str) -> None:
     # workers to steady footprint, pass 2 faults in the block-manager cache
     # pages; only later passes run at steady state, the regime a long-lived
     # cluster job actually operates in.  The timed measurement is the
-    # MEDIAN of three passes — single-shot walls on this box vary by up to
-    # 2x from hypervisor page-reclaim stalls that have nothing to do with
-    # the job (all three walls are reported for transparency).
+    # MEDIAN of the three FASTEST passes, with up to three extra passes run
+    # only when the first three disagree (max/min > 1.4x).  Rationale: the
+    # job is deterministic (identical cluster counts every pass), so pass-
+    # to-pass wall variance is exogenous — this sandbox's hypervisor
+    # serializes page-reclaim box-wide and a single stall adds MINUTES to
+    # one pass (observed: [132.8, 253.7, 985.8] for the same 2-core job).
+    # Contention is strictly additive, never negative, so discarding the
+    # slowest outliers recovers the job's own wall; the protocol is
+    # symmetric across levels and every wall is reported so nothing hides.
     for _ in range(2):
         one_pass()
         spark.catalog.clearCache()
 
     walls = []
     n_clusters = None
-    for _ in range(3):
+
+    def timed_pass():
+        nonlocal n_clusters
         corpus.count()  # re-warm just the scan, as before the first pass
         t0 = time.time()
         n_clusters = one_pass()
         walls.append(round(time.time() - t0, 2))
         spark.catalog.clearCache()
-    wall = sorted(walls)[1]
+
+    for _ in range(3):
+        timed_pass()
+    extra = 0
+    while max(walls) / min(walls) > 1.4 and extra < 3:
+        timed_pass()
+        extra += 1
+    wall = sorted(walls)[:3][1]  # median of the three fastest
     print(
         json.dumps(
             {"cores": cores, "rows": rows, "wall_sec": wall, "walls": walls,
@@ -327,9 +348,15 @@ def run_scaling(n_base: int) -> None:
             "Same job (MinHash dedup pipeline, DedupConfig defaults), same input,\n"
             "CPU-FENCED parallelism levels (`taskset -c 0..N-1 local[N]`);\n"
             "fresh JVM per level; steady-state timing: TWO warm-up passes, then\n"
-            "the MEDIAN of three timed passes (first-touch page faults in this\n"
-            "sandbox cost ~0.13 ms/page and serialize in the hypervisor; the\n"
-            "per-pass walls are listed so nothing is hidden).\n\n"
+            "the MEDIAN of the three FASTEST timed passes (3 passes, plus up to 3\n"
+            "more only if the first three disagree by >1.4x).  The job is\n"
+            "deterministic — identical cluster counts every pass — so wall\n"
+            "variance is exogenous: this sandbox's hypervisor serializes page\n"
+            "reclaim box-wide and a single stall adds minutes to one pass\n"
+            "(observed [132.8, 253.7, 985.8] for the same 2-core job).\n"
+            "Contention is strictly additive, so discarding slowest outliers\n"
+            "recovers the job's own wall; the protocol is symmetric across\n"
+            "levels and every wall is listed so nothing is hidden.\n\n"
             "Why fenced: on a real cluster an executor's Python workers share its\n"
             "cgroup CPU allocation (k8s pod limit / YARN container), so an N-core\n"
             "executor = N cores total for JVM + Python.  Unfenced local[N] leaks\n"
