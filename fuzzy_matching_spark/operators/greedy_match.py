@@ -239,6 +239,21 @@ class SparkMatcher:
     re-evaluations.  ``False`` skips the cache for callers that guarantee
     deterministic sources (file scans, createDataFrame) and manage memory
     tightly.
+
+    ``driver_match_max_rows`` / ``driver_match_char_budget`` /
+    ``driver_match_pair_budget``: the driver-local strategy gate (see
+    :mod:`fuzzy_matching_spark.operators.local_match`).  When a blocked
+    match (no ``candidates``) is simple (RATIO/TOKEN_SORT, no
+    transliteration), both inputs together fit in ``max_rows``, their
+    match-field text fits in ``char_budget`` and the blocked pair volume
+    fits in ``pair_budget``, the whole match runs on the driver through
+    the same batched LCS kernel — at toy sizes the distributed plan is
+    pure stage latency, ~6 scheduler round-trips for sub-millisecond
+    partitions.  All three budgets bound the probe itself (``limit(cap+1)``
+    collects, never a full scan), so the gate is safe to leave on at any
+    input scale; ``driver_match_max_rows=0`` disables it (tests that
+    target the distributed plan pin this).  ``last_strategy`` records
+    which path ran.
     """
 
     def __init__(
@@ -246,10 +261,18 @@ class SparkMatcher:
         config: MatchConfig,
         rebalance_min_rows: int = 3_000,
         pin_inputs: bool = True,
+        driver_match_max_rows: int = 4_096,
+        driver_match_char_budget: int = 2_000_000,
+        driver_match_pair_budget: int = 2_000_000,
     ):
         self.config = config
         self.rebalance_min_rows = rebalance_min_rows
         self.pin_inputs = pin_inputs
+        self.driver_match_max_rows = driver_match_max_rows
+        self.driver_match_char_budget = driver_match_char_budget
+        self.driver_match_pair_budget = driver_match_pair_budget
+        # observability: "driver" | "distributed", set per match call
+        self.last_strategy: str | None = None
         self.match_fields = [fc.field for fc in config.fields]
         self.weights = {fc.field: fc.weight for fc in config.fields}
         # every frame this matcher persists (pinned inputs, the greedy pair
@@ -611,6 +634,62 @@ class SparkMatcher:
         )
         return pairs, d1, d2
 
+    def _try_local(self, df1: DataFrame, df2: DataFrame):
+        """Probe the driver-local strategy gate; run it if everything fits.
+
+        Returns ``(matches, consolidated)`` DataFrames, or ``None`` to fall
+        back to the distributed plan.  Bounded by construction: reads at
+        most ``driver_match_max_rows + 1`` rows per side via ``limit`` —
+        on a 100 TB source that is a one-partition scan, and an oversize
+        probe costs two trivial jobs before the distributed plan proceeds.
+        String-typed columns are required (the engine's data model; the
+        distributed ``_prepare`` would stringify, but mixed-type frames
+        keep the fully-tested distributed path).
+        """
+        from pyspark.sql.types import StringType
+
+        cap = self.driver_match_max_rows
+        if cap <= 0 or not self._is_simple():
+            return None
+        if any(
+            not isinstance(f.dataType, StringType)
+            for f in list(df1.schema.fields) + list(df2.schema.fields)
+        ):
+            return None
+        rows1 = df1.limit(cap + 1).collect()
+        if len(rows1) > cap:
+            return None
+        rem = cap - len(rows1)
+        rows2 = df2.limit(rem + 1).collect()
+        if len(rows2) > rem:
+            return None
+
+        from fuzzy_matching_spark.operators import local_match
+
+        cols = [c for c in df1.columns if c not in (SEQ, BK)]
+        # the same string coercion _prepare applies (None -> "")
+        def coerce(rows):
+            return [
+                {c: (v if v is not None else "") for c, v in zip(r.__fields__, r)}
+                for r in rows
+            ]
+
+        l1, l2 = coerce(rows1), coerce(rows2)
+        probe_fields = set(self.match_fields)
+        if self.config.block_field:
+            probe_fields.add(self.config.block_field)
+        chars = sum(
+            len(r.get(f, "")) for rows in (l1, l2) for r in rows for f in probe_fields
+        )
+        if chars > self.driver_match_char_budget:
+            return None
+        # block membership is order-independent, so the volume probe needs
+        # no sort replay
+        if local_match.pair_volume(l1, l2, self.config) > self.driver_match_pair_budget:
+            return None
+        self.last_strategy = "driver"
+        return local_match.run_local(df1.sparkSession, cols, l1, l2, self.config)
+
     def match_and_consolidate(
         self, df1: DataFrame, df2: DataFrame, candidates=None
     ) -> tuple[DataFrame, DataFrame]:
@@ -626,6 +705,11 @@ class SparkMatcher:
         * ``candidates``: optional generator forwarded to
           :meth:`match_pairs` (LSH mode).
         """
+        if candidates is None:
+            local = self._try_local(df1, df2)
+            if local is not None:
+                return local
+        self.last_strategy = "distributed"
         pairs, d1, d2 = self.match_pairs(df1, df2, candidates=candidates)
         # The greedy cogroup is the expensive stage and is consumed by three
         # branches (winner pick + two anti-joins); persist its tiny output

@@ -57,7 +57,13 @@ def run_both(spark, config, n=150, seed=42):
 
     df1 = spark_df(spark, originals)
     df2 = spark_df(spark, variants)
-    s_matches_df, s_cons_df = SparkMatcher(config).match_and_consolidate(df1, df2)
+    # driver_match_max_rows=0: this suite's purpose is the DISTRIBUTED
+    # plan vs the oracle; without the pin, small simple configs would
+    # silently dispatch to the driver-local path (tests/test_local_match.py
+    # covers that path and the dispatch gate)
+    matcher = SparkMatcher(config, driver_match_max_rows=0)
+    s_matches_df, s_cons_df = matcher.match_and_consolidate(df1, df2)
+    assert matcher.last_strategy == "distributed"
     s_matches = [
         (r["Оригинал"].asDict(), r["Вариант"].asDict(), r["Схожесть"])
         for r in s_matches_df.collect()
@@ -134,7 +140,7 @@ def test_parallelism_invariance(spark):
     results = []
     for parts in ("2", "16"):
         spark.conf.set("spark.sql.shuffle.partitions", parts)
-        m, c = SparkMatcher(config).match_and_consolidate(df1, df2)
+        m, c = SparkMatcher(config, driver_match_max_rows=0).match_and_consolidate(df1, df2)
         results.append(
             (
                 sorted((r["Оригинал"]["id"], r["Вариант"]["id"], round(r["Схожесть"], 9)) for r in m.collect()),
