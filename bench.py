@@ -433,7 +433,7 @@ def run_matcher() -> None:
             fields=fields(), threshold=0.7, block_field="Фамилия",
             sort_before_match=True, fuzzy_algorithm=algo,
         )
-        walls, n_matches = [], 0
+        walls, n_matches, strategy = [], 0, "?"
         for _ in range(3):
             m = SparkMatcher(cfg)
             t0 = time.time()
@@ -441,8 +441,9 @@ def run_matcher() -> None:
             n_matches = matches.count()
             cons.count()
             walls.append(round(time.time() - t0, 2))
+            strategy = m.last_strategy
             m.unpersist()
-        return min(walls[1:]), walls, n_matches
+        return min(walls[1:]), walls, n_matches, strategy
 
     scorers = [
         FuzzyAlgorithm.RATIO,
@@ -482,14 +483,19 @@ def run_matcher() -> None:
             "Auto-generated by `python bench.py --matcher` (protocol: full\n"
             "`match_and_consolidate`, BOTH outputs counted — two result actions\n"
             "+ consolidation joins; 3 runs per scorer in one warmed session;\n"
-            "warm = min of runs 2-3; all walls listed).\n\n"
-            "| scorer | n | warm wall (s) | all walls (s) | matches |\n"
-            "|---|---|---|---|---|\n"
+            "warm = min of runs 2-3; all walls listed).  `strategy` is the\n"
+            "execution path SparkMatcher picked: `driver` = the bounded\n"
+            "driver-local batched kernel (operators/local_match.py — small\n"
+            "inputs are pure stage latency on the distributed plan),\n"
+            "`distributed` = the executor-parallel plan that production\n"
+            "sizes take (n=10000 exceeds the 4096-row gate).\n\n"
+            "| scorer | n | strategy | warm wall (s) | all walls (s) | matches |\n"
+            "|---|---|---|---|---|---|\n"
             + "".join(
-                f"| {k.upper()} | 1000 | {v[0]} | {v[1]} | {v[2]} |\n"
+                f"| {k.upper()} | 1000 | {v[3]} | {v[0]} | {v[1]} | {v[2]} |\n"
                 for k, v in rows.items()
             )
-            + f"| RATIO | 10000 | {big[0]} | {big[1]} | {big[2]} |\n\n"
+            + f"| RATIO | 10000 | {big[3]} | {big[0]} | {big[1]} | {big[2]} |\n\n"
             f"PARTIAL_RATIO / RATIO at n=1000: **{partial_x}x** "
             "(r2 bar: <= 1.5x; the reference itself pays 3.6x — "
             "benchmark_results_table.txt:39-40).\n\n"

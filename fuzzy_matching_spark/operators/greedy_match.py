@@ -243,17 +243,19 @@ class SparkMatcher:
     ``driver_match_max_rows`` / ``driver_match_char_budget`` /
     ``driver_match_pair_budget``: the driver-local strategy gate (see
     :mod:`fuzzy_matching_spark.operators.local_match`).  When a blocked
-    match (no ``candidates``) is simple (RATIO/TOKEN_SORT, no
-    transliteration), both inputs together fit in ``max_rows``, their
-    match-field text fits in ``char_budget`` and the blocked pair volume
-    fits in ``pair_budget``, the whole match runs on the driver through
-    the same batched LCS kernel — at toy sizes the distributed plan is
-    pure stage latency, ~6 scheduler round-trips for sub-millisecond
-    partitions.  All three budgets bound the probe itself (``limit(cap+1)``
-    collects, never a full scan), so the gate is safe to leave on at any
-    input scale; ``driver_match_max_rows=0`` disables it (tests that
-    target the distributed plan pin this).  ``last_strategy`` records
-    which path ran.
+    match (no ``candidates``) has both inputs together fitting in
+    ``max_rows``, their match-field text in ``char_budget`` and the
+    blocked pair volume in ``pair_budget`` (scaled down 64x for
+    transliterate-enabled configs, whose scoring is scalar per unique
+    pair), the whole match — any scorer, transliteration included — runs
+    on the driver through the same batched LCS kernel the executors use;
+    at toy sizes the distributed plan is pure stage latency, ~6 scheduler
+    round-trips for sub-millisecond partitions.  All three budgets bound
+    the probe itself (``limit(cap+1)`` collects, never a full scan), so
+    the gate is safe to leave on at any input scale;
+    ``driver_match_max_rows=0`` disables it (tests that target the
+    distributed plan pin this).  ``last_strategy`` records which path
+    ran.
     """
 
     def __init__(
@@ -649,7 +651,7 @@ class SparkMatcher:
         from pyspark.sql.types import StringType
 
         cap = self.driver_match_max_rows
-        if cap <= 0 or not self._is_simple():
+        if cap <= 0:
             return None
         if any(
             not isinstance(f.dataType, StringType)
@@ -685,7 +687,18 @@ class SparkMatcher:
             return None
         # block membership is order-independent, so the volume probe needs
         # no sort replay
-        if local_match.pair_volume(l1, l2, self.config) > self.driver_match_pair_budget:
+        pair_budget = self.driver_match_pair_budget
+        if any(
+            fc.transliterate and self.config.transliteration.enabled
+            for fc in self.config.fields
+        ):
+            # transliterate-enabled fields score pair-wise through a scalar
+            # unique-pair path (direction depends on BOTH sides' detected
+            # languages — scoring._translit_field_matrix), not the batched
+            # LCS kernel; a single driver core should only take that on at
+            # a fraction of the batched budget
+            pair_budget //= 64
+        if local_match.pair_volume(l1, l2, self.config) > pair_budget:
             return None
         self.last_strategy = "driver"
         return local_match.run_local(df1.sparkSession, cols, l1, l2, self.config)

@@ -6,14 +6,20 @@ Three fences (operators/local_match.py docstring):
    replays the reference's strict-> first-max-wins loop).
 2. ``SparkMatcher`` driver path == distributed path exactly on the same
    inputs (both return DataFrames with the same schema and values).
-3. The dispatch gate: simple+small goes local; non-simple configs,
-   non-string columns, oversize rows, char budget and pair-volume budget
-   each force the distributed plan.
+3. The dispatch gate: small inputs go local for every scorer (and for
+   transliteration, under a 64x-shrunk pair budget); non-string columns,
+   oversize rows, char budget and pair-volume budget each force the
+   distributed plan.
 """
 
 import pytest
 
-from fuzzy_matching_spark.config import FuzzyAlgorithm, MatchConfig, MatchFieldConfig
+from fuzzy_matching_spark.config import (
+    FuzzyAlgorithm,
+    MatchConfig,
+    MatchFieldConfig,
+    TransliterationConfig,
+)
 from fuzzy_matching_spark.fixtures.persons import generate_person_pair
 from fuzzy_matching_spark.operators.greedy_match import SparkMatcher
 from fuzzy_matching_spark.operators.local_match import LocalBatchedMatcher, pair_volume
@@ -52,16 +58,41 @@ def _spark_df(spark, records):
 # ---------------------------------------------------------------------------
 
 
+TRANSLIT_KW = dict(
+    fields=[
+        MatchFieldConfig("Фамилия", 0.4, transliterate=True),
+        MatchFieldConfig("Имя", 0.3, transliterate=True),
+        MatchFieldConfig("Отчество", 0.2, transliterate=True),
+        MatchFieldConfig("email", 0.1),
+    ],
+    transliteration=TransliterationConfig(enabled=True, standard="Passport"),
+)
+
+
 @pytest.mark.parametrize(
     "config_kw,n",
     [
         ({}, 300),
         ({"fuzzy_algorithm": FuzzyAlgorithm.TOKEN_SORT}, 300),
+        ({"fuzzy_algorithm": FuzzyAlgorithm.PARTIAL_RATIO}, 200),
+        ({"fuzzy_algorithm": FuzzyAlgorithm.TOKEN_SET}, 200),
+        ({"fuzzy_algorithm": FuzzyAlgorithm.WRatio}, 200),
+        (TRANSLIT_KW, 150),
         ({"sort_before_match": False}, 200),
         ({"block_field": None}, 80),
         ({"threshold": 0.9}, 200),
     ],
-    ids=["ratio", "token_sort", "nosort", "noblock", "thr09"],
+    ids=[
+        "ratio",
+        "token_sort",
+        "partial_ratio",
+        "token_set",
+        "wratio",
+        "translit",
+        "nosort",
+        "noblock",
+        "thr09",
+    ],
 )
 def test_local_equals_oracle(config_kw, n):
     config = cfg(**config_kw)
@@ -156,12 +187,32 @@ def test_driver_path_empty_right(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_gate_non_simple_goes_distributed(spark):
+def test_gate_every_scorer_goes_driver(spark):
+    """All five scorers are local-eligible (config_score_matrix covers
+    them), so a small input dispatches to the driver for each."""
+    orig, var = generate_person_pair(40, seed=5)
+    for algo in FuzzyAlgorithm:
+        matcher = SparkMatcher(cfg(fuzzy_algorithm=algo))
+        matcher.match_and_consolidate(_spark_df(spark, orig), _spark_df(spark, var))
+        assert matcher.last_strategy == "driver", algo
+
+
+def test_gate_translit_pair_budget_shrinks_64x(spark):
+    """Transliterate-enabled configs score scalar per unique pair, so the
+    gate divides their pair budget by 64: a volume that fits the batched
+    budget forces the distributed plan once transliteration is on."""
     orig, var = generate_person_pair(60, seed=5)
-    matcher = SparkMatcher(cfg(fuzzy_algorithm=FuzzyAlgorithm.PARTIAL_RATIO))
-    matcher.match_and_consolidate(_spark_df(spark, orig), _spark_df(spark, var))
-    assert matcher.last_strategy == "distributed"
-    matcher.unpersist()
+    vol = pair_volume(orig, var, cfg())
+    assert vol > 0
+    budget = vol * 32  # fits plain (vol <= budget), not translit (vol > budget/64)
+    plain = SparkMatcher(cfg(), driver_match_pair_budget=budget)
+    plain.match_and_consolidate(_spark_df(spark, orig), _spark_df(spark, var))
+    assert plain.last_strategy == "driver"
+
+    translit = SparkMatcher(cfg(**TRANSLIT_KW), driver_match_pair_budget=budget)
+    translit.match_and_consolidate(_spark_df(spark, orig), _spark_df(spark, var))
+    assert translit.last_strategy == "distributed"
+    translit.unpersist()
 
 
 def test_gate_oversize_goes_distributed(spark):
