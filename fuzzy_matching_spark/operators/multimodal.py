@@ -5,8 +5,10 @@ with typed metadata structs; the Spark-side contract (schema, partitioning,
 Arrow batch shape, UDF signatures) is real and tested here.  Codec-free
 public formats decode NATIVELY in pure numpy: binary NetPBM (P6/P5) and
 uncompressed 24-bit BMP rasters (:func:`decode_ppm` / :func:`decode_bmp` ->
-:func:`image_grid_features` mean-luma grid pooling), and RIFF/WAVE PCM audio
-(:func:`decode_wav` -> :func:`audio_band_features` per-window RMS energy).
+:func:`image_grid_features` mean-luma grid pooling), RIFF/WAVE PCM audio
+(:func:`decode_wav` -> :func:`audio_band_features` per-window RMS energy),
+and uncompressed 24-bit AVI video (:func:`decode_avi_frames` -> per-frame
+grid features via :func:`decode_video_features`).
 Formats that require a codec library (png/jpeg/mp3/...) remain stubbed in
 this container: ``strict=True`` raises ``NotImplementedError`` for them,
 ``strict=False`` substitutes a deterministic fake derived from the payload
@@ -37,6 +39,8 @@ __all__ = [
     "with_media_metadata",
     "decode_image_features",
     "decode_audio_features",
+    "decode_video_features",
+    "decode_avi_frames",
     "sample_video_frames",
     "MEDIA_MAGIC",
 ]
@@ -191,6 +195,80 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("WAV payload has no data chunk")
 
 
+def _parse_avi(payload: bytes) -> tuple[int, int, list[tuple[bytes, int, int]]]:
+    """RIFF/AVI chunk walk -> (width, height, [(chunk_id, offset, size)...]).
+
+    Same RIFF grammar as :func:`decode_wav` (4-byte id, uint32le size, even
+    padding), recursing into ``LIST`` chunks so both the ``hdrl`` header
+    tree and the ``movi`` frame list (including optional ``rec `` groups)
+    are covered.  Video-frame chunks are the two-digit-stream ids ending in
+    ``db`` (uncompressed DIB) or ``dc`` (compressed); only ``db`` frames
+    with the ``strf`` header saying BI_RGB 24-bit can decode codec-free —
+    anything else raises ``ValueError`` for the caller's strict/stub
+    contract."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = -1
+    bitcount = compression = None
+    frames: list[tuple[bytes, int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, bitcount, compression
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the 4-byte form type
+            elif cid == b"avih":
+                width = int.from_bytes(payload[body + 32 : body + 36], "little")
+                height = int.from_bytes(payload[body + 36 : body + 40], "little")
+            elif cid == b"strf" and bitcount is None:  # first video stream
+                bitcount = int.from_bytes(payload[body + 14 : body + 16], "little")
+                compression = int.from_bytes(payload[body + 16 : body + 20], "little")
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames.append((cid, body, size))
+            pos = body + size + (size & 1)
+
+    walk(12, len(payload))
+    if width <= 0 or height <= 0:
+        raise ValueError("AVI payload has no avih main header")
+    if bitcount != 24 or compression != 0 or any(
+        cid[2:4] == b"dc" for cid, _, _ in frames
+    ):
+        raise ValueError(
+            f"only uncompressed 24-bit DIB frames decode natively "
+            f"(bitcount={bitcount}, compression={compression})"
+        )
+    return width, height, frames
+
+
+def _decode_dib(payload: bytes, off: int, size: int, w: int, h: int) -> np.ndarray:
+    """One raw DIB frame (bottom-up, BGR, 4-byte row padding) -> RGB array."""
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=min(size, row_bytes * h), offset=off
+    ).reshape(h, row_bytes)
+    return raster[:, : w * 3].reshape(h, w, 3)[:, :, ::-1][::-1]
+
+
+def decode_avi_frames(
+    payload: bytes, indices: list[int] | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Uncompressed AVI -> [(frame_index, uint8 RGB array (H, W, 3)), ...].
+
+    ``indices`` selects frames by position in the stream (default: all).
+    Codec-free by construction — the DIB frames are raw BMP-style rasters,
+    so the decode is the same numpy reshape/flip as :func:`decode_bmp`."""
+    w, h, frames = _parse_avi(payload)
+    want = range(len(frames)) if indices is None else indices
+    return [
+        (i, _decode_dib(payload, frames[i][1], frames[i][2], w, h))
+        for i in want
+        if 0 <= i < len(frames)
+    ]
+
+
 def audio_band_features(samples: np.ndarray, dim: int = 64) -> np.ndarray:
     """Waveform -> ``dim`` float32 features in [0, 1]: per-window RMS energy.
 
@@ -342,6 +420,64 @@ def decode_audio_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         decode, schema=f"`{id_col}` long, features array<float>, sample_rate int"
+    )
+
+
+def decode_video_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 64,
+    stride: int = 30,
+    max_frames: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Binary video payloads -> (id, frame_index, features) rows per sampled
+    frame (Arrow batches).
+
+    Uncompressed 24-bit AVI decodes NATIVELY (:func:`decode_avi_frames` ->
+    :func:`image_grid_features` per frame); the sampling plan is the same
+    stride/cap rule as :func:`sample_video_frames`, applied to the payload's
+    actual frame count so no metadata column is needed.  Compressed video
+    needs a codec library this container doesn't have: ``strict=True``
+    raises ``NotImplementedError``, ``strict=False`` emits ``max_frames``
+    digest-seeded stub rows so the one-to-many output shape — the part the
+    downstream pipeline depends on — is still exercised end-to-end.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, feats = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, frames = _parse_avi(p or b"")
+                except ValueError:
+                    if strict:
+                        raise NotImplementedError(
+                            "no native decoder for this payload (uncompressed "
+                            "24-bit AVI supported) and no codec library in "
+                            "this environment; run with strict=False for the "
+                            "deterministic stub"
+                        ) from None
+                    for i in range(max_frames):
+                        ids.append(mid)
+                        fidx.append(i * stride)
+                        feats.append(
+                            _stub_decode((p or b"") + i.to_bytes(4, "little"), dim)
+                        )
+                    continue
+                planned = list(range(0, len(frames), stride))[:max_frames]
+                for i in planned:
+                    cid, off, size = frames[i]
+                    ids.append(mid)
+                    fidx.append(i)
+                    feats.append(
+                        image_grid_features(_decode_dib(p, off, size, w, h), dim)
+                    )
+            yield pd.DataFrame({id_col: ids, "frame_index": fidx, "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, schema=f"`{id_col}` long, frame_index int, features array<float>"
     )
 
 

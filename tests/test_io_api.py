@@ -346,3 +346,126 @@ def test_decode_audio_features_native_vs_stub(spark):
         for r in multimodal.with_media_metadata(df).collect()
     }
     assert kinds == {1: "wav", 2: "unknown"}
+
+
+# --- native video decode (uncompressed 24-bit AVI, pure numpy) ----------------
+
+def _avi_bytes(frames, compressed=False):
+    """Build a minimal RIFF/AVI payload from an RGB frame stack (N, H, W, 3).
+
+    Frames are stored the DIB way: bottom-up, BGR, rows 4-byte padded;
+    ``compressed=True`` writes '00dc' chunks + a non-BI_RGB strf so the
+    codec-required branch can be exercised."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+    def list_chunk(form, body):
+        return chunk(b"LIST", form + body)
+
+    def raster(f):
+        out = bytearray()
+        for row in f[::-1]:
+            line = bytes(int(v) for p in row for v in p[::-1])
+            out += line + b"\x00" * (row_bytes - len(line))
+        return bytes(out)
+
+    avih = struct.pack("<14I", 33333, 0, 0, 0, n, 0, 1, row_bytes * h, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"\x00" * 4 if compressed else b"DIB ",
+        0, 0, 0, 0, 1, 30, 0, n, row_bytes * h, 0, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 1 if compressed else 0, row_bytes * h, 0, 0, 0, 0,
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    fid = b"00dc" if compressed else b"00db"
+    movi = list_chunk(b"movi", b"".join(chunk(fid, raster(f)) for f in px))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_avi_golden():
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    # 3 frames of 2x1 (odd row width -> 2 padding bytes per row)
+    frames = np.array(
+        [
+            [[[255, 0, 0], [0, 255, 0]]],
+            [[[0, 0, 255], [10, 20, 30]]],
+            [[[1, 2, 3], [4, 5, 6]]],
+        ],
+        dtype=np.uint8,
+    )
+    payload = _avi_bytes(frames)
+    got = multimodal.decode_avi_frames(payload)
+    assert [i for i, _ in got] == [0, 1, 2]
+    for (_, g), want in zip(got, frames):
+        assert (g == want).all()
+    # index selection (out-of-range indices are dropped, not errors)
+    sel = multimodal.decode_avi_frames(payload, indices=[2, 0, 9])
+    assert [i for i, _ in sel] == [2, 0]
+    assert (sel[0][1] == frames[2]).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        multimodal.decode_avi_frames(b"RIFF\x00\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="uncompressed"):
+        multimodal.decode_avi_frames(_avi_bytes(frames, compressed=True))
+
+
+def test_decode_video_features_native_vs_stub(spark):
+    """AVI payloads decode frame-by-frame inside the Spark UDF with the
+    sample_video_frames stride/cap plan; other payloads keep the stub
+    contract (max_frames digest-seeded rows)."""
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    # 5 uniform-color frames, 2x2: grid features == luma/255 per cell
+    lumas = [0, 51, 102, 153, 204]
+    frames = np.stack(
+        [np.full((2, 2, 3), v, dtype=np.uint8) for v in lumas]
+    )
+    rows = [(1, _avi_bytes(frames)), (2, b"not video")]
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    out = multimodal.decode_video_features(df, dim=4, stride=2, max_frames=2).collect()
+    native = sorted(
+        (r["frame_index"], r["features"]) for r in out if r["media_id"] == 1
+    )
+    # stride 2, cap 2 over 5 frames -> frames 0 and 2
+    assert [i for i, _ in native] == [0, 2]
+    assert np.allclose(native[0][1], [0.0] * 4)
+    assert np.allclose(native[1][1], [102 / 255.0] * 4)
+    stub = [r for r in out if r["media_id"] == 2]
+    assert sorted(r["frame_index"] for r in stub) == [0, 2]
+    assert all(len(r["features"]) == 4 for r in stub)
+
+    # strict: AVI accepted, anything else raises through the UDF
+    only_avi = spark.createDataFrame(rows[:1], schema="media_id long, payload binary")
+    assert multimodal.decode_video_features(only_avi, strict=True, stride=1).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.decode_video_features(df, strict=True).collect()
+
+    kinds = {
+        r["media_id"]: r["media_kind"]
+        for r in multimodal.with_media_metadata(df).collect()
+    }
+    assert kinds[1] == "avi"
