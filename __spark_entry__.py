@@ -164,6 +164,40 @@ def q_exact_dedup_stats(spark, sf_dir):
     return textops.exact_dedup_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_streaming_exact_dedup(spark, sf_dir):
+    """Streaming twin of exact_dedup_stats: the documents table replayed as
+    a file-source stream (availableNow trigger), sha256 histogram as the one
+    stateful aggregation (``streaming.stream_hash_counts``), stats folded
+    batch-side from the sink.  The memory sink is the harness here — a
+    production ingest writes the histogram to a real sink; the stateful
+    operator itself shuffles only (hash, count) state, the at-scale shape.
+    """
+    import uuid as _uuid
+
+    from fuzzy_matching_spark.streaming import (
+        read_document_stream,
+        stream_hash_counts,
+    )
+
+    stream = read_document_stream(spark, f"{sf_dir}/documents.parquet")
+    name = "stream_dedup_" + _uuid.uuid4().hex[:12]
+    q = (
+        stream_hash_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = spark.table(name)
+    return hist.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count("*").alias("distinct_docs"),
+        (F.sum("n_docs") - F.count("*")).alias("dup_docs"),
+    )
+
+
 def q_top1_per_group(spark, sf_dir):
     """W2 top-1-per-key window (longest doc per lang x source)."""
     d = _t(spark, sf_dir, "documents")
@@ -505,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_language_histogram": q_detect_language,
         "normalize_text": q_normalize_text,
         "exact_dedup_stats": q_exact_dedup_stats,
+        "streaming_exact_dedup": q_streaming_exact_dedup,
         "top1_per_group": q_top1_per_group,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -650,6 +685,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "exact_dedup_stats": """
+            SELECT count(*) AS total_docs,
+                   count(DISTINCT sha256(text)) AS distinct_docs,
+                   count(*) - count(DISTINCT sha256(text)) AS dup_docs
+            FROM documents
+        """,
+        "streaming_exact_dedup": """
             SELECT count(*) AS total_docs,
                    count(DISTINCT sha256(text)) AS distinct_docs,
                    count(*) - count(DISTINCT sha256(text)) AS dup_docs
