@@ -232,6 +232,18 @@ def q_embedding_topk(spark, sf_dir):
     return embeddings.cosine_topk(v, probes, k=5)
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF-flat ANN: sampled-centroid inverted lists, multi-probe rerank.
+
+    The oracle reproduces the algorithm (centroid sampling, argmax
+    assignment, top-n_probe search, rerank) — parity is exact regardless
+    of recall; recall-vs-brute-force is asserted in tests/test_ann_skew.py.
+    """
+    v = _t(spark, sf_dir, "embeddings")
+    probes = v.filter(F.col("vec_id") < 10)
+    return embeddings.ivf_ann(v, probes, k=5, n_lists=16, n_probe=4)
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped aggregation (decimal sums for cross-engine exactness)."""
     l = _t(spark, sf_dir, "lineitem")
@@ -545,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_jaccard_pairs": q_token_jaccard,
         "embedding_cosine_topk": q_embedding_topk,
+        "ivf_ann": q_ivf_ann,
         "pricing_summary": q_pricing_summary,
         "order_customer_join": q_order_customer_join,
         "minhash_dedup_pairs": q_minhash_pairs,
@@ -752,6 +765,35 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN embeddings v
               WHERE p.vec_id <> v.vec_id)
             WHERE rank <= 5
+        """,
+        "ivf_ann": """
+            WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                          FROM embeddings ORDER BY vec_id LIMIT 16),
+            asn AS (SELECT v.vec_id AS neighbor_id, cid,
+                           row_number() OVER (
+                             PARTITION BY v.vec_id
+                             ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], cvec::DOUBLE[]) DESC,
+                                      cid ASC) AS rn
+                    FROM embeddings v CROSS JOIN cent),
+            lists AS (SELECT neighbor_id, cid FROM asn WHERE rn = 1),
+            pr AS (SELECT p.vec_id AS query_id, cid,
+                          row_number() OVER (
+                            PARTITION BY p.vec_id
+                            ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], cvec::DOUBLE[]) DESC,
+                                     cid ASC) AS rn
+                   FROM (SELECT * FROM embeddings WHERE vec_id < 10) p CROSS JOIN cent),
+            plists AS (SELECT query_id, cid FROM pr WHERE rn <= 4),
+            cand AS (SELECT query_id, neighbor_id FROM plists JOIN lists USING (cid)
+                     WHERE neighbor_id <> query_id),
+            scored AS (SELECT query_id, neighbor_id,
+                              list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cos
+                       FROM cand JOIN embeddings q ON q.vec_id = query_id
+                                 JOIN embeddings n ON n.vec_id = neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

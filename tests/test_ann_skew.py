@@ -59,3 +59,51 @@ def test_uncapped_equals_capped_when_no_bucket_exceeds(spark):
     sa = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in a.collect()}
     sb = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in b.collect()}
     assert sa == sb
+
+
+def _clustered_vectors(spark, n_clusters=8, per_cluster=40, dim=16, seed=7):
+    """Well-separated gaussian clusters: IVF's favorable regime, so recall
+    against brute force is high and stable for a fixed seed."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 6
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((i, (c + 0.3 * rng.standard_normal(dim)).tolist()))
+            i += 1
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+
+
+def test_ivf_ann_recall_and_shape(spark):
+    v = _clustered_vectors(spark)
+    probes = v.filter("vec_id % 40 = 0")  # one probe per cluster
+    k = 5
+    exact = embeddings.cosine_topk(v, probes, k=k)
+    approx = embeddings.ivf_ann(v, probes, k=k, n_lists=16, n_probe=4)
+
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # per-probe output shape: exactly k ranked rows, ranks 1..k
+    ranks = {}
+    for r in approx.collect():
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, k + 1)) for v in ranks.values())
+    # clustered regime: multi-probe IVF recovers >= 90% of true neighbors
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"IVF recall {recall:.3f} below bound"
+
+
+def test_ivf_ann_full_probe_equals_exact(spark):
+    """Probing ALL lists degenerates IVF to brute force — outputs must be
+    row-identical to cosine_topk (same rounding, ranks, tie-breaks)."""
+    v = _clustered_vectors(spark, n_clusters=4, per_cluster=20)
+    probes = v.filter("vec_id < 5")
+    exact = {tuple(r) for r in embeddings.cosine_topk(v, probes, k=5).collect()}
+    full = {
+        tuple(r)
+        for r in embeddings.ivf_ann(
+            v, probes, k=5, n_lists=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
