@@ -13,6 +13,14 @@ Local smoke::
 
     python jobs/dedup_job.py --input /tmp/corpus.parquet --output /tmp/out
 
+Incremental ingest (Structured Streaming, availableNow semantics: drain
+everything new, exit; rerun as new files land — see
+``fuzzy_matching_spark.streaming``)::
+
+    spark-submit --py-files fuzzy_matching_spark.zip jobs/dedup_job.py \
+        --input /landing/docs --output /warehouse/stream_out \
+        --checkpoint-dir /warehouse/stream_ckpt --streaming
+
 The job is resumable: stage outputs land in ``--checkpoint-dir`` keyed by a
 hash of the full configuration, so a rerun after failure skips completed
 stages.  Outputs: ``clusters/`` (doc_id, component), ``edges/`` (detector
@@ -52,6 +60,17 @@ def main() -> None:
     ap.add_argument("--anchor-hash", default="rolling", choices=["rolling", "md5"])
     ap.add_argument("--max-bucket-size", type=int, default=200)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="incremental ingest: treat --input as a landing directory and "
+        "run the Structured Streaming MinHash/LSH flow (availableNow: "
+        "process everything new, then exit; rerun to pick up later "
+        "arrivals — state lives in --checkpoint-dir and the band index "
+        "under --output)",
+    )
+    ap.add_argument("--content-col", default="content")
+    ap.add_argument("--id-col", default="doc_id")
     args = ap.parse_args()
 
     # On a cluster spark-submit supplies master/deploy config; we only add
@@ -77,6 +96,30 @@ def main() -> None:
         max_bucket_size=args.max_bucket_size,
         seed=args.seed,
     )
+    if args.streaming:
+        if args.input_format != "parquet":
+            raise SystemExit("--streaming requires --input-format parquet "
+                             "(a file-source landing directory)")
+        from fuzzy_matching_spark.streaming import (
+            read_document_stream,
+            stream_lsh_candidates,
+        )
+
+        ckpt = args.checkpoint_dir or f"{args.output}/_stream_checkpoint"
+        q = stream_lsh_candidates(
+            read_document_stream(spark, args.input),
+            index_dir=f"{args.output}/band_index",
+            pairs_dir=f"{args.output}/pairs_stream",
+            checkpoint_dir=ckpt,
+            config=config,
+            content_col=args.content_col,
+            id_col=args.id_col,
+        )
+        q.awaitTermination()
+        print(f"[metric] stream.batches_processed = {q.lastProgress['batchId'] + 1}"
+              if q.lastProgress else "[metric] stream.batches_processed = 0")
+        return
+
     corpus = load_corpus(spark, args.input, fmt=args.input_format)
     pipeline = DedupPipeline(
         spark,

@@ -137,3 +137,40 @@ def test_stream_lsh_candidates_incremental(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
     }
     assert again == want
+
+
+def test_dedup_job_streaming_mode(spark, tmp_path, monkeypatch):
+    """The spark-submit entry's --streaming flag drains a landing dir and
+    leaves pairs + band index + checkpoint behind (rerunnable)."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job_entry",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "dedup_job.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    landing = _write_docs(spark, tmp_path, DOCS, n_files=2)
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "dedup_job.py",
+            "--input", landing,
+            "--output", out,
+            "--checkpoint-dir", str(tmp_path / "job-ckpt"),
+            "--streaming",
+            "--content-col", "text",
+        ],
+    )
+    mod.main()
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in spark.read.parquet(f"{out}/pairs_stream").collect()
+    }
+    assert {(0, 1), (2, 5)} <= pairs
+    assert spark.read.parquet(f"{out}/band_index").count() > 0
