@@ -469,3 +469,56 @@ def test_decode_video_features_native_vs_stub(spark):
         for r in multimodal.with_media_metadata(df).collect()
     }
     assert kinds[1] == "avi"
+
+
+def test_avi_roundtrip_property():
+    """Property: any frame stack survives _avi_bytes -> decode_avi_frames
+    bit-exactly (random sizes exercise row padding and frame counts)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 4),
+        h=st.integers(1, 7),
+        w=st.integers(1, 7),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, h, w, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        got = multimodal.decode_avi_frames(_avi_bytes(frames))
+        assert len(got) == n
+        for (i, g), want in zip(got, frames):
+            assert (g == want).all()
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    """Property: float32 samples survive _wav_bytes(fmt_tag=3) -> decode_wav
+    exactly; 16-bit PCM within quantization error."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 200),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(-1, 1, size=n)
+        got_f, r1 = multimodal.decode_wav(_wav_bytes(x, rate=rate, fmt_tag=3))
+        assert r1 == rate and np.array_equal(got_f, x.astype(np.float32))
+        got_i, _ = multimodal.decode_wav(_wav_bytes(x, rate=rate, bits=16))
+        assert np.allclose(got_i, x, atol=1.5 / 32768)
+
+    check()
