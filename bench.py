@@ -188,10 +188,33 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
     # so pinning one count across levels would measure a mis-sized config,
     # not the job.  Cluster assignments are partitioning-independent (the
     # determinism check below proves it per run).
+    os.makedirs(f"/dev/shm/fms-scaling-{cores}", exist_ok=True)
     spark = build_session(
         master=f"local[{cores}]",
         shuffle_partitions=max(16, 4 * cores),
         app_name=f"fms-scaling-{cores}",
+        # shuffle scratch on tmpfs: a real cluster node shuffles to ITS OWN
+        # local disks, but this sandbox has a single ext4 disk shared by
+        # both pair members — kernel writeback of one member's shuffle
+        # files ran inside the sibling's timed window (measured: 8-core
+        # passes 67-69 s right after a 2-core pass vs 41-46 s first in
+        # round).  RAM-backed scratch removes the cross-member disk
+        # coupling without touching the job; per-pass shuffle volume is a
+        # few GB against 126 GB of tmpfs.
+        # split sizing: the toy corpus is ~300 MB in 2.3 MB files; the
+        # default 128 MB maxPartitionBytes + 4 MB openCost packs the scan
+        # into ~7 splits, so every map-side stage runs <= 7 tasks and the
+        # measured "efficiency" is wave granularity (a 4-core level runs
+        # 4+3, idling half its cores in wave 2 — the cpusample straggler
+        # tail), not the job.  At 100 TB splits outnumber slots by 1000x;
+        # sizing splits so tasks >> slots is what makes the toy measurement
+        # mean the same thing.  4m puts each of the corpus's 128 uniform
+        # ~2.3 MB files in its own split: 128 divides evenly by every
+        # level (1/2/4/8), so no level pays a ragged final wave the others
+        # don't (43 splits would tax 8 cores ~12% but 2 cores only ~2%).
+        extra_conf={"spark.local.dir": f"/dev/shm/fms-scaling-{cores}",
+                    "spark.sql.files.maxPartitionBytes": "4m",
+                    "spark.sql.files.openCostInBytes": "131072"},
     )
     corpus = spark.read.parquet(os.path.join(data, "corpus"))
     rows = corpus.count()  # warm the scan outside the timed region

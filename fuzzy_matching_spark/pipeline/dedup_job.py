@@ -117,16 +117,19 @@ class DedupPipeline:
     def ingest(self, corpus: DataFrame) -> DataFrame:
         """Attach doc_id + the per-row sha256 content invariant.
 
-        If the source has fewer splits than the cluster has slots (one
-        small parquet file, a fresh generator), spread it first — every
+        If the source has fewer splits than ~2 waves of the cluster's
+        slots (one small parquet file, a fresh generator, a small-file
+        corpus the scan packed into few splits), spread it first — every
         downstream Arrow stage (signatures, verification shingling)
-        inherits the scan's partitioning, and a single-split input would
-        serialize them all.  At corpus scale inputs have plenty of splits
-        and this is a no-op.
+        inherits the scan's partitioning, and too few splits serializes
+        them all: 7 splits on 4 cores runs waves of 4+3, idling half the
+        cores in the second wave (measured as a ~25% wall tax at 4 fenced
+        cores).  At corpus scale inputs have plenty of splits and this is
+        a no-op.
         """
         par = self.spark.sparkContext.defaultParallelism
-        if corpus.rdd.getNumPartitions() < par:
-            corpus = corpus.repartition(par * 2)
+        if corpus.rdd.getNumPartitions() < 2 * par:
+            corpus = corpus.repartition(4 * par)
         return corpus.withColumn(
             "doc_id", F.xxhash64("repo", "path", "commit")
         ).withColumn("content_sha256", F.sha2("content", 256))
