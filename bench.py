@@ -246,18 +246,44 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
             ).run(corpus)
             return result.clusters.select("component").distinct().count()
 
-    # Two warm-up passes, untimed, cache cleared after each: Spark's
-    # CacheManager matches persisted plans by canonical form, so without
-    # clearCache a later pass would reuse the earlier pass's cached stages
-    # and time only the tail of the job.  Warm-in is MULTI-pass in this
-    # sandbox (first-touch page faults serialize in the hypervisor at
-    # ~0.13 ms/page, so heap + Python workers + block-manager cache reach
-    # steady footprint over several passes); residual warm-in after two
-    # passes lands on the first round or two of BOTH pair members and the
-    # median over rounds absorbs it.
-    for _ in range(2):
-        one_pass()
+    def measured_pass():
+        corpus.count()  # re-warm just the scan (same shape every pass)
+        t0 = time.time()
+        n = one_pass()
+        wall = round(time.time() - t0, 2)
+        # clear + collect inside OUR slot: Spark's CacheManager matches
+        # persisted plans by canonical form, so without clearCache a later
+        # pass would reuse this pass's cached stages and time only the tail
+        # of the job; the gc + settle keeps heap scrubbing out of the pair
+        # sibling's timed window (page churn contends box-wide here even
+        # across disjoint cpusets — the hypervisor serializes page faults).
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        time.sleep(2)
+        return wall, n
+
+    # CONVERGENCE-GATED warm-up, untimed: keep warming until the latest
+    # pass is within 5% of this member's fastest so far (>= 3 passes,
+    # capped at 8).  Warm-in is MULTI-pass in this sandbox (first-touch
+    # page faults serialize in the hypervisor at ~0.13 ms/page, so heap +
+    # Python workers + block-manager cache reach steady footprint over
+    # several passes) and — crucially — its LENGTH scales with the level's
+    # wall: a fixed two-pass warmup left a fenced 1-core member still
+    # improving monotonically through five timed rounds (289 -> 221 s,
+    # -24%) while its 4-core sibling was long steady, so the per-level
+    # floors sampled different life stages of the two JVMs and the ratio
+    # was corrupted asymmetrically.  Gating on convergence makes READY
+    # mean "steady state", which is the assumption the floor estimator
+    # rests on.  All warm walls go to stderr so nothing is hidden.
+    warm_walls = []
+    while True:
+        w, _ = measured_pass()
+        warm_walls.append(w)
+        if len(warm_walls) >= 3 and w <= 1.05 * min(warm_walls):
+            break
+        if len(warm_walls) >= 8:
+            break
+    print(f"WARMED {warm_walls}", file=sys.stderr, flush=True)
 
     print(f"READY {rows}", flush=True)
     for line in sys.stdin:
@@ -266,17 +292,7 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
             break
         if cmd != "GO":
             continue
-        corpus.count()  # re-warm just the scan, as before the warmups
-        t0 = time.time()
-        n_clusters = one_pass()
-        wall = round(time.time() - t0, 2)
-        spark.catalog.clearCache()
-        # post-pass cleanup inside OUR slot: collect the pass's garbage now
-        # and settle, so heap scrubbing doesn't run concurrently with the
-        # pair sibling's timed pass (page churn contends box-wide here even
-        # across disjoint cpusets — the hypervisor serializes page faults)
-        spark._jvm.System.gc()
-        time.sleep(2)
+        wall, n_clusters = measured_pass()
         print(f"WALL {wall} CLUSTERS {n_clusters}", flush=True)
     spark.stop()
 
@@ -549,7 +565,12 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
             "Same job (MinHash dedup pipeline, DedupConfig defaults), same input.\n\n"
             "**PAIRED protocol**: each (N, 4N) pair runs as two long-lived\n"
             "CPU-fenced JVMs on DISJOINT cpusets (`taskset -c 0..N-1` vs\n"
-            "`taskset -c N..5N-1`), each warmed with two untimed passes;\n"
+            "`taskset -c N..5N-1`), each warmed with CONVERGENCE-GATED\n"
+            "untimed passes (until the latest warm pass is within 5% of\n"
+            "that member's fastest; >= 3 passes, cap 8; warm walls logged\n"
+            "to the member's stderr) — warm-in length scales with the\n"
+            "level's wall in this sandbox, so a fixed warm-pass count\n"
+            "leaves the slow member mid-warm-in and skews the ratio;\n"
             f"then {ROUNDS} timed rounds alternate between them, adjacently in\n"
             "box time, with the in-round order flipped every round (A,B /\n"
             "B,A).  The PRIMARY efficiency estimate is the ratio of per-level\n"
