@@ -88,6 +88,28 @@ class DedupPipeline:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def _barrier(self, df: DataFrame) -> DataFrame:
+        """Eagerly materialize a persisted frame BEFORE its consumers fan out.
+
+        Spark's DAGScheduler submits every stage whose parents are done, so
+        two consumer stages of a persisted-but-unfilled frame run
+        CONCURRENTLY against its lineage and each recomputes it — the cache
+        dedups storage, never work.  At 1 core stages serialize and the
+        first consumer fills the cache, so the race is invisible; at N
+        cores it silently multiplies the expensive subtrees (the estimate
+        join reads the signature frame on BOTH sides, so the Python
+        signature stage ran 2-3x).  Measured on the 264k-file bench corpus
+        at 4 fenced cores: fused-without-barriers walls were bimodal
+        85 <-> 217 s for identical passes (scheduling luck), while the
+        barriered pipeline is a stable ~73 s and scales at the box ceiling
+        (1 -> 4 cores eff 1.02 vs 0.4-0.6 unbarriered).  The count itself
+        adds one job whose tasks do the work the first consumer had to do
+        anyway; with ``collect_metrics=True`` the metric counts used to
+        provide exactly this barrier by accident.
+        """
+        df.count()
+        return df
+
     def _count_metric(
         self, stage: str, metric: str, df: DataFrame, keep: bool = False,
         force_persist: bool = False,
@@ -101,6 +123,11 @@ class DedupPipeline:
         # consumer.
         if self.collect_metrics or force_persist:
             df = df.persist()
+            if force_persist and not self.collect_metrics:
+                # force_persist marks genuinely multi-consumer frames; with
+                # metrics off nothing counts them before the consumers fan
+                # out, so fill the cache here (see _barrier)
+                self._barrier(df)
             # persists are registered so run()'s finally block can release
             # executor storage even on failure (long-lived sessions otherwise
             # leak cached stages across runs); ``keep=True`` is for frames the
@@ -235,9 +262,17 @@ class DedupPipeline:
         # both estimate join sides read (and at small scale BROADCAST) 125
         # bytes/doc instead of shuffling 1 KB/doc arrays; at corpus scale it
         # exceeds the broadcast threshold and AQE keeps the shuffle join
-        sig8 = minhash.truncated_signatures(sigs).persist()
+        # barrier BEFORE the estimate join: est reads sig8 on BOTH sides, so
+        # an unfilled sig8 cache would be computed twice concurrently — and
+        # each computation drags the whole Python signature stage with it
+        # (sigs is persisted but equally unfilled).  One count materializes
+        # sigs -> sig8 exactly once; the band chain then reads the sigs
+        # cache.  (see _barrier for the measured cost of skipping this)
+        sig8 = self._barrier(minhash.truncated_signatures(sigs).persist())
         self._temp_persists.append(sig8)
-        est = minhash.estimate_similarity(pairs, sig8).persist()
+        # barrier AFTER est: accepted (union branch) and ambiguous (verify
+        # branch) consume it from independent stages of the same job
+        est = self._barrier(minhash.estimate_similarity(pairs, sig8).persist())
         accepted = est.filter(dense & (F.col("sim") >= t + margin))
         accepted = self._count_metric("minhash", "accepted_by_estimate", accepted)
         ambiguous = est.filter(
@@ -335,6 +370,10 @@ class DedupPipeline:
             .persist()
         )
         self._temp_persists.append(tagged)
+        # barrier: the exact-edges branch and the detector branch (rep_docs)
+        # consume tagged from independent stages; filling it here also
+        # materializes the docs cache underneath it (see _barrier)
+        self._barrier(tagged)
         rep_docs = tagged.filter(F.col("_rn") == 1).drop("_rn", "_min")
         if self.collect_metrics:
             self._metrics.append(("ingest", "distinct_contents", float(rep_docs.count())))
