@@ -162,7 +162,10 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
     """Internal child for the paired scaling protocol.
 
     Launched under ``taskset`` on a DISJOINT cpuset by ``run_scaling``;
-    builds a fenced ``local[cores]`` session, warms up (2 untimed passes),
+    builds a fenced ``local[cores]`` session, warms up with CONVERGENCE-
+    GATED untimed passes (>= 3, capped at 8, stopping once the latest pass
+    stops improving >5% on the best previous pass — warm-in length scales
+    with the level's wall, so a fixed count under-warms slow levels),
     prints ``READY <rows>``, then serves timed passes on demand: each
     ``GO`` line on stdin runs one pass and prints ``WALL <sec> CLUSTERS
     <n>``; ``EXIT`` stops the session.  Keeping the JVM alive between
@@ -279,7 +282,11 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
     while True:
         w, _ = measured_pass()
         warm_walls.append(w)
-        if len(warm_walls) >= 3 and w <= 1.05 * min(warm_walls):
+        # converged = the latest pass is NO LONGER >5% faster than the best
+        # PREVIOUS pass (ADVICE r4: comparing against a min that includes
+        # the current wall is vacuous — any fastest-so-far pass trivially
+        # passes, so a monotonically improving member exits at 3 passes).
+        if len(warm_walls) >= 3 and w >= 0.95 * min(warm_walls[:-1]):
             break
         if len(warm_walls) >= 8:
             break
@@ -301,6 +308,10 @@ LEVELS = tuple(
     int(c) for c in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8").split(",")
 )
 ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
+# bumped whenever the measurement protocol changes in a way that breaks
+# ceiling transfer (v2: convergence-gated warmup compares against the best
+# PREVIOUS pass); calibration.json is only honored when it matches.
+PROTOCOL_NAME = "paired_disjoint_fences_interleaved_floors_v2"
 
 
 def run_scaling(n_base: int, job: str = "dedup") -> None:
@@ -498,6 +509,18 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
     if job != "null" and os.path.exists(cal_path):
         with open(cal_path) as cf:
             cal = json.load(cf)
+        # a ceiling measured on a different corpus or protocol does not
+        # transfer (ADVICE r4) — refuse to normalize with a stale file.
+        if cal.get("rows") != rows or cal.get("protocol") != PROTOCOL_NAME:
+            print(
+                f"WARNING: BENCH/calibration.json is stale "
+                f"(rows={cal.get('rows')} vs {rows}, "
+                f"protocol={cal.get('protocol')!r} vs {PROTOCOL_NAME!r}); "
+                "skipping box normalization — rerun `bench.py --scaling "
+                "--job null` to recalibrate.",
+                file=sys.stderr,
+            )
+            cal = None
     for p in pair_results:
         ceil = (cal or {}).get("ceilings", {}).get(f"{p['n']}->{p['m']}")
         p["ceiling"] = ceil
@@ -528,7 +551,7 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
         },
         "sf": rows,
         "rounds": ROUNDS,
-        "protocol": "paired_disjoint_fences_interleaved_floors",
+        "protocol": PROTOCOL_NAME,
     }
     print(json.dumps(summary))
 
@@ -684,6 +707,7 @@ def _write_calibration_md(rows, pair_results, worst, level_walls) -> None:
     with open(os.path.join(REPO, "BENCH", "calibration.json"), "w") as f:
         json.dump(
             {"rows": rows,
+             "protocol": PROTOCOL_NAME,
              "ceilings": {f"{p['n']}->{p['m']}": p["floor_eff"]
                           for p in pair_results},
              "floors": {f"{p['n']}->{p['m']}": [p["floor_tn"], p["floor_tm"]]

@@ -123,18 +123,18 @@ class DedupPipeline:
         # consumer.
         if self.collect_metrics or force_persist:
             df = df.persist()
+            # register BEFORE the eager count/barrier: if that job throws,
+            # run()'s finally block must still be able to unpersist, or the
+            # CacheManager registration leaks in long-lived sessions.
+            # ``keep=True`` is for frames the caller receives in the
+            # DedupResult — their cache must outlive run().
+            if not keep:
+                self._temp_persists.append(df)
             if force_persist and not self.collect_metrics:
                 # force_persist marks genuinely multi-consumer frames; with
                 # metrics off nothing counts them before the consumers fan
                 # out, so fill the cache here (see _barrier)
                 self._barrier(df)
-            # persists are registered so run()'s finally block can release
-            # executor storage even on failure (long-lived sessions otherwise
-            # leak cached stages across runs); ``keep=True`` is for frames the
-            # caller receives in the DedupResult — their cache must outlive
-            # run()
-            if not keep:
-                self._temp_persists.append(df)
         if self.collect_metrics:
             self._metrics.append((stage, metric, float(df.count())))
         return df
@@ -268,11 +268,16 @@ class DedupPipeline:
         # (sigs is persisted but equally unfilled).  One count materializes
         # sigs -> sig8 exactly once; the band chain then reads the sigs
         # cache.  (see _barrier for the measured cost of skipping this)
-        sig8 = self._barrier(minhash.truncated_signatures(sigs).persist())
+        # register each persist BEFORE its barrier count: if the count job
+        # throws, run()'s finally block must still unpersist (ADVICE r4)
+        sig8 = minhash.truncated_signatures(sigs).persist()
         self._temp_persists.append(sig8)
+        self._barrier(sig8)
         # barrier AFTER est: accepted (union branch) and ambiguous (verify
         # branch) consume it from independent stages of the same job
-        est = self._barrier(minhash.estimate_similarity(pairs, sig8).persist())
+        est = minhash.estimate_similarity(pairs, sig8).persist()
+        self._temp_persists.append(est)
+        self._barrier(est)
         accepted = est.filter(dense & (F.col("sim") >= t + margin))
         accepted = self._count_metric("minhash", "accepted_by_estimate", accepted)
         ambiguous = est.filter(
@@ -296,11 +301,10 @@ class DedupPipeline:
         ).unionByName(
             verified.select("id_a", "id_b", "sim", F.lit("exact").alias("score_kind"))
         )
-        # deferred to the end of run(): connected_components is what first
-        # materializes the edge union, so dropping these caches here would
-        # silently recompute the candidate join (sigs/pairs/ambiguous/bands/
-        # sig8 are registered where persisted)
-        self._temp_persists.append(est)
+        # all persists (sigs/pairs/ambiguous/bands/sig8/est) are registered
+        # where persisted and released at the end of run(): connected
+        # components is what first materializes the edge union, so dropping
+        # caches here would silently recompute the candidate join
         return edges.select(
             "id_a",
             "id_b",
