@@ -198,6 +198,71 @@ def q_streaming_exact_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_lsh_dedup(spark, sf_dir):
+    """Streaming incremental MinHash/LSH, end-to-end through the driver gate.
+
+    The documents table is replayed as a TWO-micro-batch file stream (split
+    by doc_id parity into two parquet files, ``maxFilesPerTrigger=1``), so
+    ``streaming.stream_lsh_candidates`` exercises BOTH candidate paths per
+    batch: the intra-batch banded self-join and the cross equi-join of the
+    new batch's bands against the persisted band index of prior ingests.
+
+    Band collision is a pairwise property of two docs' signatures, so the
+    union of intra+cross candidates over ANY batch split equals the one-shot
+    batch LSH candidate set; exhaustive exact-Jaccard verification of the
+    candidates then makes the output SQL-reproducible — the same inverted-
+    shingle-index oracle as ``minhash_dedup_pairs``.  The splitmix64/OPH
+    band hashes themselves have no ANSI-SQL form, which is why the VERIFIED
+    pair set (not the raw candidate set) is the driver-checked surface: a
+    candidate dropped by the incremental path (index append lost, cross
+    join broken, signature drift between batch and stream) surfaces as a
+    missing verified pair and turns the row red.
+    """
+    import uuid as _uuid
+
+    from fuzzy_matching_spark.operators import minhash
+    from fuzzy_matching_spark.streaming import (
+        read_document_stream,
+        stream_lsh_candidates,
+    )
+
+    docs = _docs_content(spark, sf_dir)
+    tmp = f"/tmp/fms_stream_lsh_{_uuid.uuid4().hex[:12]}"
+    # two parquet files in one landing dir -> two availableNow micro-batches
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/in")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{tmp}/in")
+
+    stream = read_document_stream(spark, f"{tmp}/in", max_files_per_trigger=1)
+    q = stream_lsh_candidates(
+        stream,
+        index_dir=f"{tmp}/idx",
+        pairs_dir=f"{tmp}/pairs",
+        checkpoint_dir=f"{tmp}/ckpt",
+        config=DOC_DEDUP_CONFIG,
+    )
+    q.awaitTermination()
+
+    # normalize pair order (cross pairs are (new, old), not sorted) and dedup
+    # across batches/bands, then verify exactly — same surface as the batch
+    # minhash query
+    cands = (
+        spark.read.parquet(f"{tmp}/pairs")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = minhash.verify_pairs_exact(cands, docs, DOC_DEDUP_CONFIG)
+    return verified.filter(F.col("sim") >= 0.7).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
+
+
 def q_top1_per_group(spark, sf_dir):
     """W2 top-1-per-key window (longest doc per lang x source)."""
     d = _t(spark, sf_dir, "documents")
@@ -552,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "exact_dedup_stats": q_exact_dedup_stats,
         "streaming_exact_dedup": q_streaming_exact_dedup,
+        "streaming_lsh_dedup": q_streaming_lsh_dedup,
         "top1_per_group": q_top1_per_group,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -814,6 +880,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "minhash_dedup_pairs": f"""
+            WITH {_SHINGLE_CTES}
+            SELECT id_a, id_b, round(i * 1.0 / (la + lb - i), 6) AS sim
+            FROM jacc WHERE i * 1.0 / (la + lb - i) >= 0.7
+        """,
+        # the streaming split is candidate-set-preserving (band collision is
+        # pairwise), so after exact verification the incremental flow must
+        # reproduce the same J >= 0.7 pair set as the one-shot batch query
+        "streaming_lsh_dedup": f"""
             WITH {_SHINGLE_CTES}
             SELECT id_a, id_b, round(i * 1.0 / (la + lb - i), 6) AS sim
             FROM jacc WHERE i * 1.0 / (la + lb - i) >= 0.7
