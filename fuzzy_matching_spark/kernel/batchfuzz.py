@@ -67,32 +67,48 @@ def partial_ratio_pairs(left: list, right: list) -> np.ndarray:
     windows of all pairs go through ONE batched LCS call.
     """
     n = len(left)
-    out = np.zeros(n, dtype=np.float64)
-    # (s1, window) slices are deduplicated before the batch LCS call
-    # (VERDICT r3 #5): candidate streams under blocking compare each left
-    # against many near-identical rights (and repeat whole pairs), so the
-    # same slice pair recurs heavily — LCS each unique slice pair once and
-    # scatter scores back by slot id.  Repetitive text also dedups its own
-    # windows within a single pair.
-    uniq: dict[tuple[str, str], int] = {}
-    uniq_s1: list[str] = []
-    uniq_win: list[str] = []
-    exp_idx: list[int] = []  # pair index per expanded window
-    exp_uid: list[int] = []  # unique-slice slot per expanded window
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    # PAIR-level dedup FIRST: candidate streams under blocking compare each
+    # left against many rights and repeat whole pairs, and partial_ratio is
+    # symmetric (the shorter side slides regardless of argument order), so
+    # the window-expansion Python loop — the dominant cost, ~50 slice/dict
+    # operations per pair (profiled at 16x a plain ratio call before this) —
+    # runs once per unique (shorter, longer) pair and the per-pair maxima
+    # scatter back by slot id.
+    pair_uniq: dict[tuple[str, str], int] = {}
+    upairs: list[tuple[str, str]] = []
+    pair_uid = np.empty(n, dtype=np.int64)
     for p in range(n):
         s1, s2 = left[p], right[p]
         if len(s1) > len(s2):
             s1, s2 = s2, s1
+        key = (s1, s2)
+        uid = pair_uniq.setdefault(key, len(upairs))
+        if uid == len(upairs):
+            upairs.append(key)
+        pair_uid[p] = uid
+
+    # (s1, window) slices are ALSO deduplicated before the batch LCS call
+    # (VERDICT r3 #5): near-identical longs across pairs and repetitive text
+    # within one pair recur the same slice — LCS each unique slice once.
+    umax = np.zeros(len(upairs), dtype=np.float64)
+    uniq: dict[tuple[str, str], int] = {}
+    uniq_s1: list[str] = []
+    uniq_win: list[str] = []
+    exp_idx: list[int] = []  # unique-pair index per expanded window
+    exp_uid: list[int] = []  # unique-slice slot per expanded window
+    for p, (s1, s2) in enumerate(upairs):
         m1, m2 = len(s1), len(s2)
         if m1 == 0:
             continue
         if s1 in s2:  # exact-substring fast path -> a full window scores 100
-            out[p] = 100.0
+            umax[p] = 100.0
             continue
         if (m1 + m2 - 1) * m1 > _EXPAND_CAP:
             from fuzzy_matching_spark.kernel import fuzz
 
-            out[p] = fuzz.partial_ratio(s1, s2)
+            umax[p] = fuzz.partial_ratio(s1, s2)
             continue
         for i in range(-(m1 - 1), m2):
             win = s2[max(0, i) : i + m1]
@@ -105,8 +121,8 @@ def partial_ratio_pairs(left: list, right: list) -> np.ndarray:
     if exp_idx:
         uscores = batchlcs.ratio_pairs(uniq_s1, uniq_win)
         scores = uscores[np.asarray(exp_uid, dtype=np.int64)]
-        np.maximum.at(out, np.asarray(exp_idx, dtype=np.int64), scores)
-    return out
+        np.maximum.at(umax, np.asarray(exp_idx, dtype=np.int64), scores)
+    return umax[pair_uid]
 
 
 def _token_set_parts(s1: str, s2: str):
