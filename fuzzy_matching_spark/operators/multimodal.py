@@ -7,10 +7,11 @@ public formats decode NATIVELY in pure numpy: binary NetPBM (P6/P5) and
 uncompressed 24-bit BMP rasters (:func:`decode_ppm` / :func:`decode_bmp` ->
 :func:`image_grid_features` mean-luma grid pooling), RIFF/WAVE PCM audio
 (:func:`decode_wav` -> :func:`audio_band_features` per-window RMS energy),
-and uncompressed 24-bit AVI video (:func:`decode_avi_frames` -> per-frame
-grid features via :func:`decode_video_features`).
-Formats that require a codec library (png/jpeg/mp3/...) remain stubbed in
-this container: ``strict=True`` raises ``NotImplementedError`` for them,
+uncompressed 24-bit AVI video (:func:`decode_avi_frames` -> per-frame
+grid features via :func:`decode_video_features`), and non-interlaced 8-bit
+PNG (:func:`decode_png`: stdlib ``zlib`` DEFLATE + numpy unfiltering).
+Formats that require an actual codec library (jpeg/mp3/compressed video)
+remain stubbed in this container: ``strict=True`` raises ``NotImplementedError`` for them,
 ``strict=False`` substitutes a deterministic fake derived from the payload
 digest, clearly marked.
 
@@ -37,6 +38,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "with_media_metadata",
+    "decode_png",
     "decode_image_features",
     "decode_audio_features",
     "decode_video_features",
@@ -316,6 +318,101 @@ def image_grid_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
     return (out / 255.0).astype(np.float32)
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> uint8 array (H, W) / (H, W, C).
+
+    Pure stdlib + numpy — no codec library: IDAT is DEFLATE (stdlib
+    ``zlib``), and the five scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) unfilter row-by-row in numpy: Up is a whole-row add, Sub
+    is a per-lane cumulative sum, Average/Paeth walk pixel columns with
+    ``bpp``-wide vector ops (the intra-row dependency is per pixel, not
+    per byte).  Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA), interlace 0.  Palette, 16-bit, and Adam7
+    raise ``ValueError`` -> the caller's strict/stub contract.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        if typ == b"IHDR":
+            ihdr = payload[pos + 8 : pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload has no IHDR/IDAT chunks")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only non-interlaced 8-bit gray/RGB/GA/RGBA PNG decodes "
+            f"natively (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})"
+        )
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG IDAT shorter than the scanline grid")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes = lines[:, 0]
+    # int16 working type: every filter sums at most two bytes + an average,
+    # then truncates mod 256
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    bpp = channels
+    for y in range(h):
+        f = int(ftypes[y])
+        row = lines[y, 1:].astype(np.int16)
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = row
+            for r in range(bpp):
+                rec[r::bpp] = np.cumsum(rec[r::bpp], dtype=np.int64) & 255
+        elif f == 2:  # Up
+            rec = (row + prev) & 255
+        elif f == 3:  # Average
+            rec = row
+            left = np.zeros(bpp, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                px = (rec[x : x + bpp] + ((left + prev[x : x + bpp]) >> 1)) & 255
+                rec[x : x + bpp] = px
+                left = px
+        elif f == 4:  # Paeth
+            rec = row
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                pa = np.abs(up - upleft)
+                pb = np.abs(left - upleft)
+                pc = np.abs(left + up - 2 * upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                px = (rec[x : x + bpp] + pred) & 255
+                rec[x : x + bpp] = px
+                left, upleft = px, up
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes; None when no native decoder applies."""
     head = payload[:2] if payload else b""
@@ -323,6 +420,8 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return decode_ppm(payload)
     if head == b"BM":
         return decode_bmp(payload)
+    if payload[:4] == b"\x89PNG":
+        return decode_png(payload)
     return None
 
 
@@ -347,9 +446,10 @@ def decode_image_features(
 ) -> DataFrame:
     """Binary payloads -> fixed-width float feature vectors (Arrow batches).
 
-    PPM/PGM/BMP payloads decode NATIVELY (pure-numpy :func:`decode_ppm` /
-    :func:`decode_bmp` -> :func:`image_grid_features`).  Other formats need
-    a codec library this container doesn't have: ``strict=True`` raises
+    PPM/PGM/BMP and non-interlaced 8-bit PNG payloads decode NATIVELY
+    (pure-numpy :func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_png`
+    -> :func:`image_grid_features`).  Other formats need a codec library
+    this container doesn't have: ``strict=True`` raises
     ``NotImplementedError`` for them, ``strict=False`` substitutes the
     deterministic stub so the full pipeline — schema, shuffle, downstream
     ANN — can still be exercised.
@@ -359,15 +459,21 @@ def decode_image_features(
         for pdf in batches:
             feats = []
             for p in pdf[payload_col]:
-                img = decode_image(p)
+                try:
+                    img = decode_image(p)
+                except ValueError:
+                    # recognized magic but an unsupported variant (palette/
+                    # 16-bit/interlaced PNG, compressed BMP, ...): same
+                    # strict/stub contract as an unknown format
+                    img = None
                 if img is not None:
                     feats.append(image_grid_features(img, dim))
                 elif strict:
                     raise NotImplementedError(
-                        "no native decoder for this payload (PPM/PGM/BMP "
-                        "supported) and no codec library in this "
-                        "environment; run with strict=False for the "
-                        "deterministic stub"
+                        "no native decoder for this payload (PPM/PGM/BMP/"
+                        "non-interlaced 8-bit PNG supported) and no codec "
+                        "library in this environment; run with strict=False "
+                        "for the deterministic stub"
                     )
                 else:
                     feats.append(_stub_decode(p, dim))

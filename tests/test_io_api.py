@@ -205,6 +205,120 @@ def test_decode_bmp_golden():
     assert (got == px).all()
 
 
+def _png_bytes(img, filter_type=0):
+    """Minimal PNG encoder for tests: real chunks + CRCs, chosen per-row
+    filter (``filter_type=None`` cycles all five filters row by row).
+
+    Filters predict from the RECONSTRUCTED neighbor bytes, which during
+    encoding are just the original pixels — so the forward transform uses
+    the raw previous row/pixel directly (RFC 2083 §6).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        ctype, arr = 0, arr[:, :, None]
+    else:
+        ctype = {2: 4, 3: 2, 4: 6}[arr.shape[2]]
+    h, w, c = arr.shape
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int16)
+        f = (y % 5) if filter_type is None else filter_type
+        left = np.concatenate([np.zeros(c, np.int16), row[:-c]]) if w * c > c else np.zeros_like(row)
+        upleft = np.concatenate([np.zeros(c, np.int16), prev[:-c]]) if w * c > c else np.zeros_like(row)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) & 255
+        elif f == 2:
+            enc = (row - prev) & 255
+        elif f == 3:
+            enc = (row - ((left + prev) >> 1)) & 255
+        else:  # Paeth
+            pa = np.abs(prev - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + prev - 2 * upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (row - pred) & 255
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrip_all_filters_and_colortypes():
+    import numpy as np
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    rng = np.random.default_rng(123)
+    for shape in [(5, 7), (5, 7, 2), (5, 7, 3), (5, 7, 4), (1, 1, 3), (3, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for f in [0, 1, 2, 3, 4, None]:  # None = cycle filters per row
+            got = multimodal.decode_png(_png_bytes(img, filter_type=f))
+            assert np.array_equal(got, img), (shape, f)
+
+
+def test_decode_png_unsupported_variants_follow_stub_contract(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from fuzzy_matching_spark.operators import multimodal
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # palette color type (3) is out of native scope -> ValueError
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(pal)
+
+    # through the operator: unsupported variant stubs (lenient) / raises (strict)
+    good = _png_bytes(np.arange(12, dtype=np.uint8).reshape(2, 2, 3), filter_type=4)
+    df = spark.createDataFrame([(1, bytearray(good)), (2, bytearray(pal))],
+                               "media_id long, payload binary")
+    rows = {r["media_id"]: r["features"]
+            for r in multimodal.decode_image_features(df, dim=4).collect()}
+    expected = multimodal.image_grid_features(
+        np.arange(12, dtype=np.uint8).reshape(2, 2, 3), dim=4
+    )
+    assert np.allclose(rows[1], expected)
+    assert len(rows[2]) == 4  # deterministic stub, full width
+    with pytest.raises(Exception, match="NotImplementedError|no native decoder"):
+        multimodal.decode_image_features(df, dim=4, strict=True).collect()
+
+
 def test_image_grid_features_exact():
     import numpy as np
 
