@@ -658,12 +658,26 @@ class SparkMatcher:
             for f in list(df1.schema.fields) + list(df2.schema.fields)
         ):
             return None
-        rows1 = df1.limit(cap + 1).collect()
-        if len(rows1) > cap:
-            return None
-        rem = cap - len(rows1)
-        rows2 = df2.limit(rem + 1).collect()
-        if len(rows2) > rem:
+        if df1.schema == df2.schema:
+            # one probe job, not two: tag-union both capped sides and split
+            # driver-side.  Each limit collapses to a single-partition
+            # GlobalLimit, so per-side row order in the collect matches the
+            # two-collect path.  Saves one full action round-trip — at this
+            # input size the wall is almost entirely action latency.
+            tagged = df1.limit(cap + 1).withColumn(
+                "_probe_side", F.lit(0)
+            ).unionByName(df2.limit(cap + 1).withColumn("_probe_side", F.lit(1)))
+            rows1, rows2 = [], []
+            for r in tagged.collect():
+                (rows1 if r["_probe_side"] == 0 else rows2).append(r)
+            drop = ("_probe_side",)
+        else:
+            rows1 = df1.limit(cap + 1).collect()
+            if len(rows1) > cap:
+                return None
+            rows2 = df2.limit(cap - len(rows1) + 1).collect()
+            drop = ()
+        if len(rows1) > cap or len(rows1) + len(rows2) > cap:
             return None
 
         from fuzzy_matching_spark.operators import local_match
@@ -672,7 +686,11 @@ class SparkMatcher:
         # the same string coercion _prepare applies (None -> "")
         def coerce(rows):
             return [
-                {c: (v if v is not None else "") for c, v in zip(r.__fields__, r)}
+                {
+                    c: (v if v is not None else "")
+                    for c, v in zip(r.__fields__, r)
+                    if c not in drop
+                }
                 for r in rows
             ]
 
