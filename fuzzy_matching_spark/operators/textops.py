@@ -122,24 +122,26 @@ def _token_jaccard_bitmask(tok_arrays, vocab_rows, threshold, id_col):
     ``vocab_rows`` is the full (token, df) list, bounded by the vocab limit.
     Bits are assigned rare-first so a mask's *lowest* set bits are its
     rarest tokens — the prefix filter becomes a mask over the low bits.
+
+    When the threshold leaves enough slack (bands of >= 2 bits), the
+    quadratic stage is delegated to :func:`_token_jaccard_mask_banded`,
+    which joins DISTINCT masks on banded-Hamming keys and expands back to
+    doc pairs — the candidate volume then scales with distinct token SETS
+    (bounded by the corpus, not by doc count) and the band values spread
+    candidates over many join keys instead of <= 62 bit buckets.
     """
     ordered = sorted(vocab_rows, key=lambda r: (r["df"], r["tok"]))
-    bit_map = F.create_map(
-        *[
-            x
-            for i, r in enumerate(ordered)
-            for x in (F.lit(r["tok"]), F.lit(1 << i).cast("long"))
-        ]
-    )
-    masked = tok_arrays.select(
-        F.col(id_col),
-        "sz",
-        F.aggregate(
-            F.transform("toks", lambda t: bit_map[t]),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc.bitwiseOR(v),
-        ).alias("mask"),
-    )
+    V = len(ordered)
+    # J(A,B) >= t  <=>  |A xor B| <= (1-t)*|A or B|  and |A or B| <= V,
+    # so a qualifying pair's masks differ in at most d_max bits; with
+    # B = d_max+1 bands they agree exactly on >= 1 band (pigeonhole).
+    d_max = int((1.0 - threshold) * V + 1e-9)
+    n_bands = d_max + 1
+    if V > 0 and 2 * n_bands <= V:
+        return _token_jaccard_mask_banded(
+            tok_arrays, ordered, threshold, id_col, V, n_bands
+        )
+    masked = _mask_docs(tok_arrays, ordered, id_col)
 
     # prefix filter: the ceil(t*sz)-1 rarest tokens can be skipped; a pair
     # with Jaccard >= t must share one of the remaining (rarest-first)
@@ -203,6 +205,128 @@ def _token_jaccard_bitmask(tok_arrays, vocab_rows, threshold, id_col):
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _mask_docs(tok_arrays, ordered, id_col):
+    """(id, sz, mask): each doc's token set as one 64-bit vocabulary mask."""
+    bit_map = F.create_map(
+        *[
+            x
+            for i, r in enumerate(ordered)
+            for x in (F.lit(r["tok"]), F.lit(1 << i).cast("long"))
+        ]
+    )
+    return tok_arrays.select(
+        F.col(id_col),
+        "sz",
+        F.aggregate(
+            F.transform("toks", lambda t: bit_map[t]),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc.bitwiseOR(v),
+        ).alias("mask"),
+    )
+
+
+def _token_jaccard_mask_banded(tok_arrays, ordered, threshold, id_col, V, n_bands):
+    """Distinct-mask banded-Hamming plan for small vocabularies.
+
+    The quadratic stage runs over DISTINCT masks, not docs: identical token
+    sets collapse before any pairing, so candidate volume is bounded by the
+    number of distinct sets (<= 2^V, and in practice the corpus's set
+    diversity) regardless of doc count — the property that keeps this plan
+    alive at 10^12 docs.  The V vocabulary bits are split into ``n_bands``
+    contiguous bands; a qualifying pair agrees exactly on >= 1 band
+    (pigeonhole over the XOR-popcount bound), so an equi-join on
+    (band, band_value) finds every candidate, with join keys spread over
+    the bands' value spaces instead of <= V single-bit buckets.  Each mask
+    pair is emitted exactly once — at its LOWEST agreeing band — so no
+    pair-dedup shuffle is needed.  Doc expansion is two joins of the
+    verified mask pairs against the (id, mask) table (AQE broadcasts the
+    doc side when it fits) plus a same-mask self-join for the Jaccard-1
+    groups; both emit only true result rows.
+    """
+    # band layout: first (V % n_bands) bands get an extra bit
+    base, extra = divmod(V, n_bands)
+    lows, widths, lo = [], [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        lows.append(lo)
+        widths.append(w)
+        lo += w
+
+    masked = _mask_docs(tok_arrays, ordered, id_col)
+    ids = masked.filter(F.col("mask") != 0).select(id_col, "mask")
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("mask", lows[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1).cast("long"))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = (
+        ids.select("mask")
+        .distinct()
+        .select("mask", F.explode(band_structs).alias("bv"))
+        .select("mask", "bv.band", "bv.val")
+    )
+
+    a = bands.select(F.col("mask").alias("mask_a"), "band", "val")
+    b = bands.select(F.col("mask").alias("mask_b"), "band", "val")
+    xor = F.col("mask_a").bitwiseXOR(F.col("mask_b"))
+    # bitmap of agreeing bands; keeping a pair only where the joined band
+    # is the LOWEST set bit makes each pair materialize exactly once
+    agree_bits = None
+    for i in range(n_bands):
+        bit = F.when(
+            xor.bitwiseAND(
+                F.lit(((1 << widths[i]) - 1) << lows[i]).cast("long")
+            )
+            == 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        agree_bits = bit if agree_bits is None else agree_bits.bitwiseOR(bit)
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    mask_pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("mask_a") < F.col("mask_b"))
+        .withColumn("_agree", agree_bits)
+        .filter(
+            F.col("_agree").bitwiseAND(-F.col("_agree"))
+            == F.expr("shiftleft(CAST(1 AS BIGINT), band)")
+        )
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("mask_a", "mask_b", "jaccard")
+    )
+
+    cross = (
+        mask_pairs.join(
+            ids.select(F.col(id_col).alias("_ia"), F.col("mask").alias("mask_a")),
+            "mask_a",
+        )
+        .join(
+            ids.select(F.col(id_col).alias("_ib"), F.col("mask").alias("mask_b")),
+            "mask_b",
+        )
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    same = (
+        ids.select(F.col(id_col).alias("id_a"), "mask")
+        .join(ids.select(F.col(id_col).alias("id_b"), "mask"), "mask")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(same)
 
 
 def _token_jaccard_ppjoin(tok_arrays, freq, threshold, id_col):
