@@ -775,7 +775,13 @@ def run_matcher() -> None:
 
     def measure(n: int, algo: FuzzyAlgorithm) -> tuple[float, list[float], int]:
         orig, var = generate_person_pair(n, seed=42)
-        d1, d2 = spark.createDataFrame(orig), spark.createDataFrame(var)
+        # pandas-built frames: Arrow local relations evaluate JVM-side like
+        # the file-backed frames real flows read; list-built frames replay a
+        # pickled Python RDD per action (~1 s of pure artifact at this size)
+        import pandas as pd
+
+        d1 = spark.createDataFrame(pd.DataFrame(orig, dtype=object))
+        d2 = spark.createDataFrame(pd.DataFrame(var, dtype=object))
         cfg = MatchConfig(
             fields=fields(), threshold=0.7, block_field="Фамилия",
             sort_before_match=True, fuzzy_algorithm=algo,

@@ -92,6 +92,7 @@ def run_local(spark, cols: list[str], rows1: list[dict], rows2: list[dict], conf
     Схожесть double)`` over ``cols`` (both structs use the left frame's
     column order, as the distributed plan does) and ``consolidated`` with
     the plain columns."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import (
         DoubleType,
         StringType,
@@ -102,24 +103,39 @@ def run_local(spark, cols: list[str], rows1: list[dict], rows2: list[dict], conf
     matches, consolidated = LocalBatchedMatcher(config).match_and_consolidate(
         rows1, rows2
     )
-    rec_t = StructType([StructField(c, StringType()) for c in cols])
-    m_schema = StructType(
+    # Build the result frames from pandas, not Python lists: Arrow-backed
+    # local relations evaluate JVM-side, while list-built frames replay a
+    # pickled Python RDD through a Python worker on EVERY action — measured
+    # ~0.8-1.0 s per count/collect vs ~0.06-0.2 s via Arrow.  At this input
+    # size those two caller actions were most of the wall.  Structs are
+    # assembled with a JVM projection over flat columns (Arrow struct
+    # conversion from object columns is the one shaky spot in the pandas
+    # path, flat strings + doubles are not).
+    flat_schema = StructType(
+        [StructField(f"_o_{c}", StringType()) for c in cols]
+        + [StructField(f"_v_{c}", StringType()) for c in cols]
+        + [StructField("Схожесть", DoubleType())]
+    )
+    m_flat = pd.DataFrame(
         [
-            StructField("Оригинал", rec_t),
-            StructField("Вариант", rec_t),
-            StructField("Схожесть", DoubleType()),
-        ]
+            [m["Оригинал"].get(c, "") for c in cols]
+            + [m["Вариант"].get(c, "") for c in cols]
+            + [m["Схожесть"]]
+            for m in matches
+        ],
+        columns=[f.name for f in flat_schema.fields],
+        dtype=object,
     )
-    m_rows = [
-        (
-            tuple(m["Оригинал"].get(c, "") for c in cols),
-            tuple(m["Вариант"].get(c, "") for c in cols),
-            m["Схожесть"],
-        )
-        for m in matches
-    ]
-    c_rows = [tuple(r.get(c, "") for c in cols) for r in consolidated]
-    return (
-        spark.createDataFrame(m_rows, m_schema),
-        spark.createDataFrame(c_rows, rec_t),
+    m_flat["Схожесть"] = m_flat["Схожесть"].astype("float64")
+    matches_df = spark.createDataFrame(m_flat, flat_schema).select(
+        F.struct(*[F.col(f"_o_{c}").alias(c) for c in cols]).alias("Оригинал"),
+        F.struct(*[F.col(f"_v_{c}").alias(c) for c in cols]).alias("Вариант"),
+        "Схожесть",
     )
+    rec_t = StructType([StructField(c, StringType()) for c in cols])
+    c_flat = pd.DataFrame(
+        [[r.get(c, "") for c in cols] for r in consolidated],
+        columns=cols,
+        dtype=object,
+    )
+    return matches_df, spark.createDataFrame(c_flat, rec_t)
