@@ -254,8 +254,29 @@ class SparkMatcher:
     the probe itself (``limit(cap+1)`` collects, never a full scan), so
     the gate is safe to leave on at any input scale;
     ``driver_match_max_rows=0`` disables it (tests that target the
-    distributed plan pin this).  ``last_strategy`` records which path
-    ran.
+    distributed plan pin this).  The gate's pair budget is further scaled
+    down by a per-scorer cost factor (PARTIAL_RATIO expands each pair into
+    a window sweep, WRatio cascades into it): a single driver core should
+    only take on work it finishes faster than the cluster's fixed stage
+    latency.  ``last_strategy`` records which path ran.
+
+    ``broadcast_join_max_rows`` / ``broadcast_join_char_budget``: the
+    scoring-join strategy gate.  When either prepared side fits both
+    bounds, the block equi-join runs as *pre-spread big side* x
+    *broadcast small side*: the big side is hash-repartitioned on
+    (block key, within-block rank) BEFORE the join, so the quadratic
+    pair explosion happens already spread across the cluster and the
+    pair stream never moves again — no post-join exchange at all.
+    Without this, a latency-class input (thousands of rows, ~1 MB
+    shuffle stats) gets its join inputs AQE-coalesced into one
+    partition, the many-million-row explosion runs serially, and the
+    rebalance then re-shuffles the full multi-GB pair stream (measured
+    at n=10000 persons: 23 s -> 4.1 s, identical output).  On a real
+    cluster this is the classic fact x dim shape: the dim side
+    broadcasts, the fact side's partitioning drives the explosion.
+    When BOTH sides exceed the bounds, the shuffle equi-join + AQE
+    skew-split + pair-stream rebalance path below handles it — that is
+    the only shape where moving the pair stream once is worth it.
     """
 
     def __init__(
@@ -266,6 +287,8 @@ class SparkMatcher:
         driver_match_max_rows: int = 4_096,
         driver_match_char_budget: int = 2_000_000,
         driver_match_pair_budget: int = 2_000_000,
+        broadcast_join_max_rows: int = 1_000_000,
+        broadcast_join_char_budget: int = 64 << 20,
     ):
         self.config = config
         self.rebalance_min_rows = rebalance_min_rows
@@ -273,6 +296,8 @@ class SparkMatcher:
         self.driver_match_max_rows = driver_match_max_rows
         self.driver_match_char_budget = driver_match_char_budget
         self.driver_match_pair_budget = driver_match_pair_budget
+        self.broadcast_join_max_rows = broadcast_join_max_rows
+        self.broadcast_join_char_budget = broadcast_join_char_budget
         # observability: "driver" | "distributed", set per match call
         self.last_strategy: str | None = None
         self.match_fields = [fc.field for fc in config.fields]
@@ -454,17 +479,37 @@ class SparkMatcher:
         self._last_small = False
         if candidates is not None:
             return self._match_pairs_candidates(d1, d2, candidates)
-        # ONE pin/count job for both sides (was two, VERDICT r3 #6): the
-        # union scan materializes both persisted frames and returns the
-        # total the rebalance gate needs.  (InMemoryRelation caches whole
-        # rows on first scan, so the narrow seq projection still populates
-        # the full pin.)
-        total_rows = (
-            d1.select(F.col(SEQ)).unionAll(d2.select(F.col(SEQ))).count()
-            if self.pin_inputs
-            else None
-        )
-        small = total_rows is not None and total_rows <= self.rebalance_min_rows
+        # ONE pin/stats job for both sides (was two counts, VERDICT r3 #6):
+        # the union scan materializes both persisted frames and returns the
+        # per-side row and match-field char totals that the rebalance AND
+        # broadcast-join gates need.  (InMemoryRelation caches whole rows on
+        # first scan, so the narrow projection still populates the full pin.)
+        def _mf_len(d: DataFrame):
+            cols = [f for f in self.match_fields if f in d.columns]
+            if not cols:
+                return F.lit(0).cast("long")
+            out = F.length(F.coalesce(F.col(cols[0]).cast("string"), F.lit("")))
+            for c in cols[1:]:
+                out = out + F.length(F.coalesce(F.col(c).cast("string"), F.lit("")))
+            return out.cast("long")
+
+        stats = {
+            r["_side"]: (r["n"], r["c"])
+            for r in (
+                d1.select(F.lit(0).alias("_side"), _mf_len(d1).alias("_chars"))
+                .unionAll(d2.select(F.lit(1).alias("_side"), _mf_len(d2).alias("_chars")))
+                .groupBy("_side")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.sum("_chars"), F.lit(0)).alias("c"),
+                )
+                .collect()
+            )
+        }
+        rows1, chars1 = stats.get(0, (0, 0))
+        rows2, chars2 = stats.get(1, (0, 0))
+        total_rows = rows1 + rows2
+        small = total_rows <= self.rebalance_min_rows
         self._last_small = small  # consumed by match_and_consolidate
         numparts = 8 if small else None
         a = self._ranked(d1, "_lr", numparts)
@@ -483,7 +528,34 @@ class SparkMatcher:
             F.col(BK), F.col(SEQ).alias("right_seq"), F.col("_rr"),
             *self._side_cols(b, "_fb", simple),
         )
-        joined = asel.join(bsel, BK)
+
+        # scoring-join strategy (see class docstring): pre-spread + broadcast
+        # when a side fits, shuffle join + post-join rebalance when both are
+        # huge.  The spread key includes the big side's within-block rank so
+        # each of its rows keeps a contiguous run of the broadcast side —
+        # near-rectangular Arrow batches for the matrix kernel — while a hot
+        # block's rows still hash across the whole cluster.
+        par = df1.sparkSession.sparkContext.defaultParallelism
+        nparts = 8 if small else max(32, par * 2)
+
+        def _fits(nrows: int, nchars: int) -> bool:
+            return (
+                nrows <= self.broadcast_join_max_rows
+                and nchars <= self.broadcast_join_char_budget
+            )
+
+        pre_spread = _fits(rows1, chars1) or _fits(rows2, chars2)
+        if pre_spread:
+            if _fits(rows2, chars2) and (not _fits(rows1, chars1) or chars2 <= chars1):
+                joined = asel.repartition(nparts, F.col(BK), F.col("_lr")).join(
+                    F.broadcast(bsel), BK
+                )
+            else:
+                joined = bsel.repartition(nparts, F.col(BK), F.col("_rr")).join(
+                    F.broadcast(asel), BK
+                )
+        else:
+            joined = asel.join(bsel, BK)
 
         if simple and config.threshold > 0 and total_w > 0:
             # lossless prune: per-field ratio upper bound from exact
@@ -498,23 +570,23 @@ class SparkMatcher:
                 ub = ub + fub * F.lit(w)
             joined = joined.filter(ub / F.lit(total_w) >= F.lit(config.threshold))
 
-        # the block join has as many useful partitions as block keys (~26
-        # for first-char blocking) and a hot key ('S'...) concentrates the
-        # quadratic pair volume in one task; Python scoring is CPU-bound,
-        # so spread the candidate stream across the cluster before the UDF.
-        # hash-repartition on (block, left rank) — not round-robin, and not
-        # repartitionByRange (whose boundary sampling would run the join
-        # twice): every left's full right-run stays in one partition, so
-        # Arrow batches remain near-rectangular and the scorer's matrix
-        # kernel (which amortizes pattern tables across a left's rights)
-        # keeps its ~10-40x advantage, while a hot block's lefts hash
-        # across the cluster.  The shuffle moves exactly the candidate-pair
-        # stream once, in exchange for even CPU use.  Skipped below
-        # ``rebalance_min_rows`` — see the class docstring.
-        if total_rows is None:
-            total_rows = d1.count() + d2.count()
-        if total_rows > self.rebalance_min_rows:
-            par = joined.sparkSession.sparkContext.defaultParallelism
+        # Shuffle-join path only: the block join has as many useful
+        # partitions as block keys (~26 for first-char blocking) and a hot
+        # key ('S'...) concentrates the quadratic pair volume in one task;
+        # Python scoring is CPU-bound, so spread the candidate stream across
+        # the cluster before the UDF.  hash-repartition on (block, left
+        # rank) — not round-robin, and not repartitionByRange (whose
+        # boundary sampling would run the join twice): every left's full
+        # right-run stays in one partition, so Arrow batches remain
+        # near-rectangular and the scorer's matrix kernel (which amortizes
+        # pattern tables across a left's rights) keeps its ~10-40x
+        # advantage, while a hot block's lefts hash across the cluster.
+        # The shuffle moves exactly the candidate-pair stream once, in
+        # exchange for even CPU use.  The pre-spread broadcast plan above
+        # makes this exchange unnecessary (the pairs are born spread);
+        # below ``rebalance_min_rows`` the stage barrier costs more than
+        # the skew — see the class docstring.
+        if not pre_spread and total_rows > self.rebalance_min_rows:
             joined = joined.repartition(max(32, par * 2), F.col(BK), F.col("_lr"))
 
         scorer = (
@@ -705,7 +777,29 @@ class SparkMatcher:
             return None
         # block membership is order-independent, so the volume probe needs
         # no sort replay
+        from fuzzy_matching_spark.config import FuzzyAlgorithm
+
         pair_budget = self.driver_match_pair_budget
+        # Per-scorer kernel cost relative to RATIO, measured on the n=1000
+        # persons fixture (155k blocked pairs, one core): PARTIAL_RATIO
+        # sweeps a window per length-difference (~70x), WRatio cascades
+        # into it for length-mismatched pairs (~16x), TOKEN_SET scores
+        # three derived strings (~4x).  The divisor keeps the driver path
+        # only where one core still beats the cluster's ~1.5 s of fixed
+        # stage latency — without it a PARTIAL_RATIO n=1000 match spent
+        # 8 s single-threaded where the distributed plan takes 2 s.
+        _cost = {
+            FuzzyAlgorithm.RATIO: 1,
+            FuzzyAlgorithm.TOKEN_SORT: 1,
+            FuzzyAlgorithm.TOKEN_SET: 4,
+            FuzzyAlgorithm.WRatio: 16,
+            FuzzyAlgorithm.PARTIAL_RATIO: 64,
+        }
+        scorer_cost = max(
+            _cost.get(fc.fuzzy_algorithm or self.config.fuzzy_algorithm, 1)
+            for fc in self.config.fields
+        ) if self.config.fields else 1
+        divisor = scorer_cost
         if any(
             fc.transliterate and self.config.transliteration.enabled
             for fc in self.config.fields
@@ -715,7 +809,8 @@ class SparkMatcher:
             # languages — scoring._translit_field_matrix), not the batched
             # LCS kernel; a single driver core should only take that on at
             # a fraction of the batched budget
-            pair_budget //= 64
+            divisor = max(divisor, 64)
+        pair_budget //= divisor
         if local_match.pair_volume(l1, l2, self.config) > pair_budget:
             return None
         self.last_strategy = "driver"

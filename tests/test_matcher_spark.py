@@ -149,3 +149,57 @@ def test_parallelism_invariance(spark):
         )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert results[0] == results[1]
+
+
+def _pairs_and_ids(m_df, c_df):
+    pairs = sorted(
+        (r["Оригинал"]["id"], r["Вариант"]["id"], round(r["Схожесть"], 9))
+        for r in m_df.collect()
+    )
+    ids = sorted(r["id"] for r in c_df.collect())
+    return pairs, ids
+
+
+def test_scoring_join_plans_agree(spark):
+    """Pre-spread + broadcast scoring join == shuffle join + rebalance.
+
+    The strategy gate (broadcast_join_max_rows/_char_budget) only picks the
+    physical join; output must be identical.  n=1600+1600 crosses
+    rebalance_min_rows so the non-small branch of both plans runs."""
+    config = base_config()
+    originals, variants = generate_person_pair(1600, seed=11)
+    df1 = spark_df(spark, originals)
+    df2 = spark_df(spark, variants)
+
+    bcast = SparkMatcher(config, driver_match_max_rows=0)
+    bres = _pairs_and_ids(*bcast.match_and_consolidate(df1, df2))
+    bcast.unpersist()
+
+    shuf = SparkMatcher(config, driver_match_max_rows=0, broadcast_join_max_rows=0)
+    sres = _pairs_and_ids(*shuf.match_and_consolidate(df1, df2))
+    shuf.unpersist()
+
+    assert bres == sres
+    assert len(bres[0]) > 0
+
+
+def test_scoring_join_left_broadcast_orientation(spark):
+    """When only the LEFT side fits the broadcast bounds (right too many
+    rows), the plan broadcasts the left and spreads the right — still
+    output-identical to the shuffle plan."""
+    config = base_config()
+    originals, _ = generate_person_pair(120, seed=13)
+    _, variants = generate_person_pair(900, seed=13)
+    df1 = spark_df(spark, originals)
+    df2 = spark_df(spark, variants)
+
+    lb = SparkMatcher(config, driver_match_max_rows=0, broadcast_join_max_rows=500)
+    lres = _pairs_and_ids(*lb.match_and_consolidate(df1, df2))
+    lb.unpersist()
+
+    shuf = SparkMatcher(config, driver_match_max_rows=0, broadcast_join_max_rows=0)
+    sres = _pairs_and_ids(*shuf.match_and_consolidate(df1, df2))
+    shuf.unpersist()
+
+    assert lres == sres
+    assert len(lres[0]) > 0
