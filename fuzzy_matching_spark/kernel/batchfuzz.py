@@ -50,21 +50,22 @@ def token_sort_ratio_pairs(left: list, right: list) -> np.ndarray:
     )
 
 
-# Cap on the per-pair window-expansion volume (window count x window chars).
-# Above it the pair falls back to the scalar kernel — same O(m1^2 * m2 / 64)
-# complexity class either way, but the expansion would materialize every
-# window as a Python string first (a 5 KB doc against a 5 KB doc is ~100 MB
-# of slices).  2M chars ≈ a 1 KB string against a 1 KB string.
-_EXPAND_CAP = 2_000_000
-
-
 def partial_ratio_pairs(left: list, right: list) -> np.ndarray:
     """Batched ``partial_ratio`` (0..100), rapidfuzz window semantics.
 
     For each pair the shorter string ``s1`` is scored with plain ``ratio``
     against every alignment window ``s2[max(0, i) : i + len1]`` for
-    ``i in [-(len1-1), len2)``; the result is the best window score.  All
-    windows of all pairs go through ONE batched LCS call.
+    ``i in [-(m1-1), len2)``; the result is the best window score.
+
+    Unique (shorter, longer) pairs whose short side fits one 64-bit word go
+    through :func:`batchlcs.partial_ratio_windows` — every window of every
+    pair is a slot of one vectorized bit-parallel state sweep, with no
+    per-window Python slicing and pattern tables built once per pair chunk.
+    Longer patterns (multi-word states would pay W-fold step cost on the
+    already-quadratic window sweep) fall back to the scalar kernel, same
+    as the previous expansion cap did.  Float parity with the exhaustive
+    scalar kernel is exact: identical LCS integers through the identical
+    ``200*lcs/(m1+wlen)`` arithmetic; ``max`` is order-independent.
     """
     n = len(left)
     if n == 0:
@@ -72,10 +73,8 @@ def partial_ratio_pairs(left: list, right: list) -> np.ndarray:
     # PAIR-level dedup FIRST: candidate streams under blocking compare each
     # left against many rights and repeat whole pairs, and partial_ratio is
     # symmetric (the shorter side slides regardless of argument order), so
-    # the window-expansion Python loop — the dominant cost, ~50 slice/dict
-    # operations per pair (profiled at 16x a plain ratio call before this) —
-    # runs once per unique (shorter, longer) pair and the per-pair maxima
-    # scatter back by slot id.
+    # the window sweep runs once per unique (shorter, longer) pair and the
+    # maxima scatter back by slot id.
     pair_uniq: dict[tuple[str, str], int] = {}
     upairs: list[tuple[str, str]] = []
     pair_uid = np.empty(n, dtype=np.int64)
@@ -89,39 +88,28 @@ def partial_ratio_pairs(left: list, right: list) -> np.ndarray:
             upairs.append(key)
         pair_uid[p] = uid
 
-    # (s1, window) slices are ALSO deduplicated before the batch LCS call
-    # (VERDICT r3 #5): near-identical longs across pairs and repetitive text
-    # within one pair recur the same slice — LCS each unique slice once.
     umax = np.zeros(len(upairs), dtype=np.float64)
-    uniq: dict[tuple[str, str], int] = {}
-    uniq_s1: list[str] = []
-    uniq_win: list[str] = []
-    exp_idx: list[int] = []  # unique-pair index per expanded window
-    exp_uid: list[int] = []  # unique-slice slot per expanded window
+    sweep_idx: list[int] = []
+    sweep_l: list[str] = []
+    sweep_r: list[str] = []
     for p, (s1, s2) in enumerate(upairs):
-        m1, m2 = len(s1), len(s2)
-        if m1 == 0:
+        if not s1:
             continue
         if s1 in s2:  # exact-substring fast path -> a full window scores 100
             umax[p] = 100.0
             continue
-        if (m1 + m2 - 1) * m1 > _EXPAND_CAP:
+        if len(s1) > 64:
             from fuzzy_matching_spark.kernel import fuzz
 
             umax[p] = fuzz.partial_ratio(s1, s2)
             continue
-        for i in range(-(m1 - 1), m2):
-            win = s2[max(0, i) : i + m1]
-            uid = uniq.setdefault((s1, win), len(uniq_s1))
-            if uid == len(uniq_s1):
-                uniq_s1.append(s1)
-                uniq_win.append(win)
-            exp_idx.append(p)
-            exp_uid.append(uid)
-    if exp_idx:
-        uscores = batchlcs.ratio_pairs(uniq_s1, uniq_win)
-        scores = uscores[np.asarray(exp_uid, dtype=np.int64)]
-        np.maximum.at(umax, np.asarray(exp_idx, dtype=np.int64), scores)
+        sweep_idx.append(p)
+        sweep_l.append(s1)
+        sweep_r.append(s2)
+    if sweep_idx:
+        umax[np.asarray(sweep_idx, dtype=np.int64)] = batchlcs.partial_ratio_windows(
+            sweep_l, sweep_r
+        )
     return umax[pair_uid]
 
 

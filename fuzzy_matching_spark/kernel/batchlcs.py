@@ -31,7 +31,13 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["lcs_matrix", "lcs_pairs", "ratio_matrix", "ratio_pairs"]
+__all__ = [
+    "lcs_matrix",
+    "lcs_pairs",
+    "ratio_matrix",
+    "ratio_pairs",
+    "partial_ratio_windows",
+]
 
 _U0 = np.uint64(0)
 _U1 = np.uint64(1)
@@ -298,3 +304,93 @@ def ratio_pairs(left: list, right: list) -> np.ndarray:
     llens = np.fromiter((len(s) for s in left), dtype=np.int64, count=len(left))
     rlens = np.fromiter((len(s) for s in right), dtype=np.int64, count=len(right))
     return _ratio_from_lcs(lcs_pairs(left, right), llens, rlens)
+
+
+# Window-state budget per chunk of the all-windows partial sweep: bounds the
+# uint64 state/gather arrays to a few MB so they stay cache-resident and the
+# worker's memory arenas are reused (same reasoning as _PAIR_CHUNK above).
+_WINDOW_CHUNK = 1 << 19
+
+
+def partial_ratio_windows(left: list, right: list) -> np.ndarray:
+    """Per-pair max of ``ratio(s1, window)`` over ALL rapidfuzz alignment
+    windows ``s2[max(0, i) : i + m1]``, ``i in [-(m1-1), m2)`` — the
+    ``partial_ratio`` inner loop as one vectorized bit-parallel sweep.
+
+    Preconditions (the :mod:`kernel.batchfuzz` caller enforces them):
+    ``1 <= len(left[p]) <= 64`` and ``len(left[p]) <= len(right[p])``.
+
+    Every window of every pair is a state slot in one flat uint64 array;
+    step ``j`` feeds slot ``w`` the char ``s2[lo_w + j]`` through the same
+    ``u = V & PM[c]; V = (V + u) | (V - u)`` recurrence as
+    :func:`lcs_pairs` (single-word: the pattern fits 64 bits).  Windows
+    are processed longest-first so the active set is a shrinking prefix —
+    total state updates = sum of window lengths ~ m1*m2 per pair, with no
+    per-window Python slicing, no dict dedup, and pattern tables built
+    once per chunk of PAIRS (the previous formulation pushed ~m1+m2
+    materialized slices per pair through lcs_pairs' 1024-pair chunks,
+    paying the table-build overhead per 1024 WINDOWS).
+    """
+    P = len(left)
+    out = np.zeros(P, dtype=np.float64)
+    if P == 0:
+        return out
+    # chunk by cumulative window count so state arrays stay bounded
+    wn = np.fromiter(
+        (len(a) + len(b) - 1 for a, b in zip(left, right)), dtype=np.int64, count=P
+    )
+    if P > 1 and int(wn.sum()) > _WINDOW_CHUNK:
+        csum = np.cumsum(wn)
+        lo = 0
+        while lo < P:
+            base = csum[lo - 1] if lo else 0
+            # largest hi with chunk sum <= _WINDOW_CHUNK (>= 1 pair always)
+            hi = int(np.searchsorted(csum, base + _WINDOW_CHUNK, side="right"))
+            hi = max(lo + 1, min(hi, P))
+            out[lo:hi] = partial_ratio_windows(left[lo:hi], right[lo:hi])
+            lo = hi
+        return out
+
+    lflat, loffs = _codepoints(left)
+    rflat, roffs = _codepoints(right)
+    m1 = np.diff(loffs)
+    m2 = np.diff(roffs)
+    PM, vocab = _pattern_tables(lflat, loffs, m1, 1)
+    PM1 = np.ascontiguousarray(PM[:, :, 0])  # (P, V+1); sentinel col is 0
+    rc = _encode_against(vocab, rflat, roffs, m2, vocab.size)  # (P, max_m2)
+    max_m2 = rc.shape[1]
+    # text-position masks: TM[p, t] = PM1[p, code of s2_p[t]] (0 when padded)
+    TM = PM1[np.arange(P, dtype=np.int64)[:, None], rc].ravel()
+    pmask = _row_masks(m1, 1)[:, 0]  # (P,) low-m1-bits masks
+
+    total = int(wn.sum())
+    pw = np.repeat(np.arange(P, dtype=np.int64), wn)
+    cumw = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(wn, out=cumw[1:])
+    k = np.arange(total, dtype=np.int64) - cumw[pw]
+    start = k - (m1[pw] - 1)
+    lo_w = np.maximum(start, 0)
+    wlen = np.minimum(start + m1[pw], m2[pw]) - lo_w
+
+    order = np.argsort(-wlen, kind="stable")
+    pw = pw[order]
+    gbase = pw * max_m2 + lo_w[order]  # flat TM index of each window's char 0
+    wlen = wlen[order]
+
+    V = pmask[pw].copy()
+    steps = int(wlen[0]) if total else 0
+    neg_wlen = -wlen
+    for j in range(steps):
+        # active prefix: windows still having a char at index j (wlen > j)
+        act = int(np.searchsorted(neg_wlen, -j, side="left"))
+        if act == 0:
+            break
+        pm = TM[gbase[:act] + j]
+        v = V[:act]
+        u = v & pm
+        V[:act] = (v + u) | (v - u)
+    ones = _popcount(V & pmask[pw])
+    lcs = m1[pw] - ones.astype(np.int64)
+    scores = 200.0 * lcs / (m1[pw] + wlen)
+    np.maximum.at(out, pw, scores)
+    return out

@@ -782,18 +782,19 @@ class SparkMatcher:
         pair_budget = self.driver_match_pair_budget
         # Per-scorer kernel cost relative to RATIO, measured on the n=1000
         # persons fixture (155k blocked pairs, one core): PARTIAL_RATIO
-        # sweeps a window per length-difference (~70x), WRatio cascades
-        # into it for length-mismatched pairs (~16x), TOKEN_SET scores
-        # three derived strings (~4x).  The divisor keeps the driver path
-        # only where one core still beats the cluster's ~1.5 s of fixed
-        # stage latency — without it a PARTIAL_RATIO n=1000 match spent
-        # 8 s single-threaded where the distributed plan takes 2 s.
+        # sweeps every alignment window, but through the vectorized
+        # all-windows kernel (batchlcs.partial_ratio_windows) that is ~5x
+        # a plain ratio batch, not ~70x; WRatio cascades into it for
+        # length-mismatched pairs (~5x), TOKEN_SET scores one derived
+        # diff-string LCS plus arithmetic (~2x).  The divisor keeps the
+        # driver path only where one core still beats the cluster's ~1.5 s
+        # of fixed stage latency.
         _cost = {
             FuzzyAlgorithm.RATIO: 1,
             FuzzyAlgorithm.TOKEN_SORT: 1,
-            FuzzyAlgorithm.TOKEN_SET: 4,
-            FuzzyAlgorithm.WRatio: 16,
-            FuzzyAlgorithm.PARTIAL_RATIO: 64,
+            FuzzyAlgorithm.TOKEN_SET: 2,
+            FuzzyAlgorithm.WRatio: 5,
+            FuzzyAlgorithm.PARTIAL_RATIO: 5,
         }
         scorer_cost = max(
             _cost.get(fc.fuzzy_algorithm or self.config.fuzzy_algorithm, 1)

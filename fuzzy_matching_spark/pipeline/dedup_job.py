@@ -106,9 +106,11 @@ class DedupPipeline:
         adds one job whose tasks do the work the first consumer had to do
         anyway; with ``collect_metrics=True`` the metric counts used to
         provide exactly this barrier by accident.
+
+        Returns the row count — already paid for, and callers use it for
+        size-gated plan choices (e.g. broadcasting sig8).
         """
-        df.count()
-        return df
+        return df.count()
 
     def _count_metric(
         self, stage: str, metric: str, df: DataFrame, keep: bool = False,
@@ -270,12 +272,32 @@ class DedupPipeline:
         # cache.  (see _barrier for the measured cost of skipping this)
         # register each persist BEFORE its barrier count: if the count job
         # throws, run()'s finally block must still unpersist (ADVICE r4)
-        sig8 = minhash.truncated_signatures(sigs).persist()
+        sig8 = minhash.truncated_signatures(
+            sigs, num_perm=self.config.num_perm
+        ).persist()
         self._temp_persists.append(sig8)
-        self._barrier(sig8)
+        n_sig8 = self._barrier(sig8)
+        # Explicit broadcast when the (already-counted) truncated frame is
+        # small: the default autoBroadcastJoinThreshold (10 MB) is below the
+        # frame's size well before the corpus stops being
+        # broadcast-friendly, and the shuffle plan moves the O(pairs)
+        # candidate stream through two full exchanges instead (measured on
+        # the 264k bench corpus: est joins 5.1 s -> 1.3 s at 2 fenced
+        # cores, 2.4 s -> 0.5 s at 8).  Size-gated, so at corpus scale the
+        # plan degrades to AQE's shuffle join instead of OOMing executors.
+        cap = self.config.sig8_broadcast_max_rows
+        bcast = 0 < n_sig8 <= cap
         # barrier AFTER est: accepted (union branch) and ambiguous (verify
-        # branch) consume it from independent stages of the same job
-        est = minhash.estimate_similarity(pairs, sig8).persist()
+        # branch) consume it from independent stages.  An un-persisted est
+        # was tried in r5 and REVERTED: each consumer then re-runs the
+        # signature-agreement arithmetic (zip_with over num_perm-byte
+        # arrays x O(pairs) rows — ~1e9 comparisons here) and, on the
+        # broadcast plan, rebuilds the driver-side broadcast per job;
+        # measured per-phase at 2 fenced cores the two recomputes cost
+        # +60 s against the ~10 s the est cache write saves.
+        est = minhash.estimate_similarity(
+            pairs, F.broadcast(sig8) if bcast else sig8
+        ).persist()
         self._temp_persists.append(est)
         self._barrier(est)
         accepted = est.filter(dense & (F.col("sim") >= t + margin))

@@ -91,9 +91,12 @@ def test_verify_mode_always_matches_auto_on_dense_corpus(spark):
 
 
 def test_truncated_signatures_estimate_parity(spark):
-    """estimate_similarity over the pre-truncated s8 frame must equal the
-    on-the-fly transform path exactly (same byte truncation, same agree
-    counts) — the s8 frame exists purely to shrink/broadcast the join."""
+    """estimate_similarity over the pre-packed word frame must equal the
+    raw-signature fallback path exactly (same byte truncation, same agree
+    counts) — the packed frame exists purely to shrink/broadcast the join
+    — and both must equal a per-pair numpy recount of agreeing low bytes."""
+    import numpy as np
+
     from fuzzy_matching_spark.fixtures.corpus import generate_corpus_df
 
     config = DedupConfig()
@@ -105,8 +108,11 @@ def test_truncated_signatures_estimate_parity(spark):
     pairs = pairs.persist()
 
     via_sig = minhash.estimate_similarity(pairs, sigs).collect()
-    s8 = minhash.truncated_signatures(sigs)
-    assert set(s8.columns) == {"doc_id", "s8", "n_shingles"}
+    s8 = minhash.truncated_signatures(sigs, num_perm=config.num_perm)
+    nw = (config.num_perm + 7) // 8
+    assert set(s8.columns) == {"doc_id", "n_perm", "n_shingles"} | {
+        f"s8w_{w}" for w in range(nw)
+    }
     via_s8 = minhash.estimate_similarity(pairs, s8).collect()
 
     key = lambda r: (r["id_a"], r["id_b"])
@@ -114,5 +120,12 @@ def test_truncated_signatures_estimate_parity(spark):
     b = {key(r): (r["sim"], r["ns_a"], r["ns_b"]) for r in via_s8}
     assert len(a) > 0
     assert a == b
+
+    # independent oracle: recount agreeing low bytes per pair in numpy
+    sig_map = {r["doc_id"]: np.array(r["sig"], dtype=np.int64) for r in sigs.collect()}
+    for r in via_s8:
+        sa, sb = sig_map[r["id_a"]], sig_map[r["id_b"]]
+        agree = int(((sa & 255) == (sb & 255)).sum())
+        assert r["sim"] == agree / config.num_perm
     sigs.unpersist()
     pairs.unpersist()

@@ -81,35 +81,35 @@ def test_score_matrix_unknown_algo_falls_back_to_ratio():
     assert got[0, 0] == fuzz.ratio("abc", "abd")
 
 
-def test_partial_ratio_pairs_expand_cap_boundary(monkeypatch):
-    """Both partial_ratio branches — window expansion AND the _EXPAND_CAP
-    scalar fallback — must be float-identical to fuzz.partial_ratio on the
-    same inputs (ADVICE r3: the fallback boundary had no direct parity
+def test_partial_ratio_pairs_branch_boundaries(monkeypatch):
+    """All partial_ratio execution branches — the vectorized all-windows
+    sweep, its pair-chunk splitting, and the >64-char-pattern scalar
+    fallback — must be float-identical to fuzz.partial_ratio on the same
+    inputs (ADVICE r3: the fallback boundary had no direct parity
     coverage)."""
-    from fuzzy_matching_spark.kernel import batchfuzz
+    from fuzzy_matching_spark.kernel import batchfuzz, batchlcs
 
     rng = random.Random(17)
-    left = _rand_strings(rng, 20, "abx cdy", 5, 60)
-    right = _rand_strings(rng, 20, "abz cdy", 5, 60)
-    # crafted small non-substring pairs that stay UNDER the lowered cap
-    # ((m1+m2-1)*m1 <= 30) so the expanded branch is exercised there too
-    left += ["ab", "bca", "xy z"]
-    right += ["ba", "acb", "z yx"]
-    want = np.array([fuzz.partial_ratio(a, b) for a, b in zip(left, right)])
+    # straddle the single-word pattern boundary: shorter sides 5..100 chars,
+    # so some pairs take the m1 > 64 scalar fallback and some the sweep
+    left = _rand_strings(rng, 20, "abx cdy", 5, 100)
+    right = _rand_strings(rng, 20, "abz cdy", 5, 100)
+    left += ["ab", "bca", "xy z", "q" * 64, "q" * 65]
+    right += ["ba", "acb", "z yx", "q" * 30 + "r" * 40, "q" * 30 + "r" * 40]
+    m1s = [min(len(a), len(b)) for a, b in zip(left, right)]
+    assert any(m > 64 for m in m1s) and any(0 < m <= 64 for m in m1s)
+    want = np.array(
+        [
+            fuzz.partial_ratio(a, b) if len(a) <= len(b) else fuzz.partial_ratio(b, a)
+            for a, b in zip(left, right)
+        ]
+    )
+    assert (batchfuzz.partial_ratio_pairs(left, right) == want).all()
 
-    expanded = batchfuzz.partial_ratio_pairs(left, right)
-    assert (expanded == want).all()
-
-    # force every pair with (m1+m2-1)*m1 > 30 through the scalar fallback;
-    # with 5..60-char strings the batch straddles the cap in both directions
-    monkeypatch.setattr(batchfuzz, "_EXPAND_CAP", 30)
-    sizes = [
-        (min(len(a), len(b)) + max(len(a), len(b)) - 1) * min(len(a), len(b))
-        for a, b in zip(left, right)
-    ]
-    assert any(s > 30 for s in sizes) and any(0 < s <= 30 for s in sizes)
-    fallback = batchfuzz.partial_ratio_pairs(left, right)
-    assert (fallback == want).all()
+    # force the window sweep through its chunk splitter: a tiny budget makes
+    # every recursion level split, including single-pair oversize chunks
+    monkeypatch.setattr(batchlcs, "_WINDOW_CHUNK", 16)
+    assert (batchfuzz.partial_ratio_pairs(left, right) == want).all()
 
 
 def test_config_score_matrix_matches_weighted_similarity():
