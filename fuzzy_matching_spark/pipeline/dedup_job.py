@@ -290,21 +290,33 @@ class DedupPipeline:
         # barrier AFTER est: accepted (union branch) and ambiguous (verify
         # branch) consume it from independent stages.  An un-persisted est
         # was tried in r5 and REVERTED: each consumer then re-runs the
-        # signature-agreement arithmetic (zip_with over num_perm-byte
-        # arrays x O(pairs) rows — ~1e9 comparisons here) and, on the
-        # broadcast plan, rebuilds the driver-side broadcast per job;
-        # measured per-phase at 2 fenced cores the two recomputes cost
-        # +60 s against the ~10 s the est cache write saves.
-        est = minhash.estimate_similarity(
+        # signature-agreement arithmetic (the per-word popcount over
+        # O(pairs) rows) and, on the broadcast plan, rebuilds the
+        # driver-side broadcast per job; measured per-phase at 2 fenced
+        # cores the two recomputes cost +60 s against the ~10 s the est
+        # cache write saves.  The 3-way classification is computed BEFORE
+        # the persist so the cache holds (id_a, id_b, sim, cls) — the ns_*
+        # density columns exist only to derive cls and never earn cache
+        # residency; downstream consumers are pure class filters.
+        est_raw = minhash.estimate_similarity(
             pairs, F.broadcast(sig8) if bcast else sig8
-        ).persist()
+        )
+        cls = (
+            F.when(dense & (F.col("sim") >= t + margin), F.lit(1))  # accept
+            .when(
+                (~dense)
+                | ((F.col("sim") >= t - margin) & (F.col("sim") < t + margin)),
+                F.lit(2),  # ambiguous -> exact verify
+            )
+            .otherwise(F.lit(0))  # drop
+            .cast("tinyint")
+        )
+        est = est_raw.select("id_a", "id_b", "sim", cls.alias("cls")).persist()
         self._temp_persists.append(est)
         self._barrier(est)
-        accepted = est.filter(dense & (F.col("sim") >= t + margin))
+        accepted = est.filter(F.col("cls") == 1)
         accepted = self._count_metric("minhash", "accepted_by_estimate", accepted)
-        ambiguous = est.filter(
-            (~dense) | ((F.col("sim") >= t - margin) & (F.col("sim") < t + margin))
-        ).select("id_a", "id_b")
+        ambiguous = est.filter(F.col("cls") == 2).select("id_a", "id_b")
         # ambiguous feeds the verify join three ways (both sides of `ids` +
         # the pair join itself)
         ambiguous = self._count_metric(
@@ -375,7 +387,11 @@ class DedupPipeline:
             self._temp_persists.clear()
 
     def _run(self, corpus: DataFrame) -> DedupResult:
-        docs = self._stage("ingest", lambda: self.ingest(corpus)).persist()
+        # NOT persisted: every consumer reads the superset `tagged` cache
+        # below — a second content-bearing cache would double the largest
+        # resident object (the corpus text) for one extra scan, and cache
+        # memory pressure is what degrades high-core-count runs first.
+        docs = self._stage("ingest", lambda: self.ingest(corpus))
         if self.collect_metrics:
             self._metrics.append(("ingest", "docs", float(docs.count())))
 
@@ -432,9 +448,9 @@ class DedupPipeline:
         # (union-find ignores them; the distributed path dedups in `sym`)
         pair_edges = edges.select("id_a", "id_b")
         labels = connected_components(pair_edges)
+        ids = tagged.select("doc_id")
         clusters = (
-            docs.select("doc_id")
-            .join(labels, docs.doc_id == labels.id, "left")
+            ids.join(labels, ids.doc_id == labels.id, "left")
             .select(
                 "doc_id",
                 F.coalesce("component", F.col("doc_id")).alias("component"),
