@@ -242,6 +242,33 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
             # one narrow stage: scan -> Python workers -> count.  No
             # shuffle, no cache, no driver union-find — perfectly parallel.
             return corpus.mapInPandas(_hash_batches, schema="h string").count()
+    elif job == "shuffle":
+        # SHUFFLE-bound calibration: embarrassingly data-parallel by
+        # construction (unique keys, no skew, no Python, no cache, no
+        # driver work beyond one count) — but, unlike the null job, its
+        # cost is almost entirely the exchange data path: serialize +
+        # write + fetch + read ~2 GB through Spark's shuffle machinery.
+        # On a real cluster N -> 4N adds NICs, disks and memory channels
+        # with the nodes, so this job scales ~1.0; on a single box every
+        # level shares ONE memory subsystem, so its measured N -> 4N
+        # efficiency is the box's achievable ceiling for the shuffle-bound
+        # PHASES of any real job under this protocol (the CPU-bound null
+        # job cannot see this limit — it measures core scaling only).
+        from pyspark.sql import functions as F
+
+        base = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("k"),
+            F.substring("content", 1, 128).alias("p"),
+        )
+
+        def one_pass():
+            expanded = base.select(
+                F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"), "k", "p"
+            )
+            keyed = expanded.select(F.xxhash64("k", "i").alias("kk"), "p")
+            # keys are ~unique, so the partial agg cannot reduce map-side:
+            # the full (kk, p) stream crosses the exchange
+            return keyed.groupBy("kk").agg(F.max("p").alias("m")).count()
     else:
         def one_pass():
             result = DedupPipeline(
@@ -506,7 +533,7 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
     # estimate of the job's own cluster scaling.
     cal = None
     cal_path = os.path.join(REPO, "BENCH", "calibration.json")
-    if job != "null" and os.path.exists(cal_path):
+    if job == "dedup" and os.path.exists(cal_path):
         with open(cal_path) as cf:
             cal = json.load(cf)
         # a ceiling measured on a different corpus or protocol does not
@@ -560,6 +587,9 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
     met = "meets" if worst >= 0.8 else "MISSES"
     if job == "null":
         _write_calibration_md(rows, pair_results, worst, level_walls)
+        return
+    if job == "shuffle":
+        _write_shuffle_calibration_md(rows, pair_results, level_walls)
         return
     pair_tables = ""
     for p in pair_results:
@@ -672,6 +702,60 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
             f"Determinism check: cluster counts across all levels, rounds and\n"
             f"pairs — {sorted(all_clusters)} "
             f"({'identical' if identical else 'MISMATCH'}).\n"
+        )
+
+
+def _write_shuffle_calibration_md(rows, pair_results, level_walls) -> None:
+    """BENCH/CALIBRATION_SHUFFLE.md: the box's shuffle-path scaling ceiling.
+
+    Companion instrument to the CPU-bound null job (CALIBRATION.md): an
+    embarrassingly data-parallel job whose cost is almost entirely the
+    exchange data path (see ``run_paired_child`` job="shuffle").  It is
+    NOT used to normalize the pipeline number — it bounds what the
+    pipeline's shuffle-bound phases could possibly show on this box, so a
+    pipeline pair that lands at this instrument's reading is scaling at
+    the data-path ceiling, not leaving parallelism on the table.
+    """
+    pair_tables = ""
+    for p in pair_results:
+        n, m = p["n"], p["m"]
+        pair_tables += (
+            f"### Pair N={n} -> 4N={m}\n\n"
+            f"| round | order | T{n} (s) | T{m} (s) | eff |\n|---|---|---|---|---|\n"
+            + "".join(
+                f"| {i + 1} | {r['order']} | {r[f't{n}']} | {r[f't{m}']} | {r['eff']} |\n"
+                for i, r in enumerate(p["rounds"])
+            )
+            + f"\n**Shuffle ceiling (floor estimate) {n} -> {m}: {p['floor_eff']}** "
+            f"(floors {p['floor_tn']} s / {p['floor_tm']} s; cross-check "
+            f"median of per-round ratios: {p['median_ratio_eff']})\n\n"
+        )
+    with open(os.path.join(REPO, "BENCH", "CALIBRATION_SHUFFLE.md"), "w") as f:
+        f.write(
+            "# BENCH/CALIBRATION_SHUFFLE — this box's shuffle-path scaling ceiling\n\n"
+            f"Exchange-bound calibration job over the same {rows}-file corpus:\n"
+            "expand each row x20 with unique 64-bit keys + a 128-byte payload,\n"
+            "hash-aggregate across one full shuffle (~2 GB through the exchange;\n"
+            "keys unique so the map side cannot combine), count groups.  No\n"
+            "Python, no cache, no skew, no driver work — embarrassingly\n"
+            "data-parallel, measured under the IDENTICAL paired fenced protocol\n"
+            "as BENCH/BASELINE.md.\n\n"
+            "On a real cluster this job scales ~1.0 (N -> 4N adds NICs, disks\n"
+            "and memory channels with the nodes).  On this box all levels share\n"
+            "ONE memory subsystem, so the reading below is the achievable\n"
+            "CEILING for the shuffle-bound PHASES of any job under this\n"
+            "protocol.  The CPU-bound null instrument (BENCH/CALIBRATION.md)\n"
+            "cannot see this limit — the two instruments bracket a real job:\n"
+            "its attainable box efficiency is a work-mix-weighted blend of the\n"
+            "CPU ceiling and this shuffle ceiling.  This file is evidence for\n"
+            "INTERPRETING the pipeline's reading, never a normalizer.\n\n"
+            + pair_tables
+            + "\nThroughput at the per-level floor walls:\n\n"
+            "| fenced cores | floor wall (s) | rows/sec |\n|---|---|---|\n"
+            + "".join(
+                f"| {c} | {w} | {round(rows / w, 1)} |\n"
+                for c, w in sorted(level_walls.items())
+            )
         )
 
 
@@ -872,9 +956,11 @@ def main() -> None:
     ap.add_argument("--data", type=str, default="/tmp/fms-bench-corpus")
     ap.add_argument("--n-base", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "80000")))
-    ap.add_argument("--job", choices=("dedup", "null"), default="dedup",
-                    help="'null' = perfectly-parallel calibration job "
-                         "(box ceiling) instead of the dedup pipeline")
+    ap.add_argument("--job", choices=("dedup", "null", "shuffle"), default="dedup",
+                    help="'null' = perfectly-parallel CPU calibration job "
+                         "(box core-scaling ceiling); 'shuffle' = exchange-"
+                         "bound calibration job (box shuffle-path ceiling); "
+                         "default = the dedup pipeline")
     args = ap.parse_args()
 
     if args.run_paired:
