@@ -154,3 +154,34 @@ def test_long_strings_multiword():
     s2 = "z" * 300 + "abc" + "w" * 100
     got = batchlcs.lcs_matrix([s1], [s2])[0, 0]
     assert got == fuzz.lcs_length(s1, s2) == 3
+
+
+def test_partial_ratio_windows_property():
+    """Property lock on the all-windows sweep: for arbitrary unicode pairs
+    (including repeats, substrings, tiny alphabets that maximize window
+    ties, and astral codepoints) the vectorized kernel's max-window ratio
+    is float-identical to the scalar exhaustive kernel."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fuzzy_matching_spark.kernel import batchfuzz
+
+    token = st.text(alphabet="ab хy💡", min_size=0, max_size=40)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(token, token), min_size=1, max_size=8))
+    def check(pairs):
+        left = [a for a, _ in pairs]
+        right = [b for _, b in pairs]
+        got = batchfuzz.partial_ratio_pairs(left, right)
+        want = np.array(
+            [
+                fuzz.partial_ratio(a, b)
+                if len(a) <= len(b)
+                else fuzz.partial_ratio(b, a)
+                for a, b in pairs
+            ]
+        )
+        assert (got == want).all()
+
+    check()
