@@ -12,10 +12,12 @@ Dataflow (all Arrow-batched, no per-row Python):
    ``num_perm`` multiply-shift permutations -> signature (array<long>) +
    per-band fold hashes (array<long>).
 2. ``band_table`` — ``posexplode`` of the band array: (doc_id, band, bh).
-3. ``candidate_pairs`` — self-equi-join on (band, bh) with ``id_a < id_b``;
-   hot buckets above ``max_bucket_size`` are *excluded and counted* (license
-   headers / generated boilerplate would otherwise quadratically explode one
-   reducer); AQE skew-join handles residual imbalance.
+3. ``candidate_pairs`` — map-side-combinable bucket counts, join back the
+   qualifying (band, bh) keys, regroup and expand each bucket's C(n,2)
+   ordered pairs JVM-side; hot buckets above ``max_bucket_size`` are
+   *excluded and counted* (license headers / generated boilerplate would
+   otherwise quadratically explode one reducer) without ever materializing
+   their member lists.
 4. ``verify_pairs_exact`` — join contents back and compute the exact shingle
    Jaccard per pair in a pandas UDF (correctness mode), or
    ``estimate_similarity`` from signature agreement (cheap mode: ±1/sqrt(P)).
