@@ -215,9 +215,22 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
         # ~2.3 MB files in its own split: 128 divides evenly by every
         # level (1/2/4/8), so no level pays a ragged final wave the others
         # don't (43 splits would tax 8 cores ~12% but 2 cores only ~2%).
+        # coalescing OFF in the scaling child: AQE's parallelismFirst mode
+        # coalesces every post-shuffle stage to ~defaultParallelism
+        # partitions = ONE wave per stage, so a straggler partition idles
+        # every other core for the stage tail — and the penalty is
+        # asymmetric (fatter 2-core partitions average out imbalance that
+        # slim 8-core partitions can't), which deflates the measured
+        # N -> 4N ratio.  With it off, stages run spark.sql.shuffle.
+        # partitions (4/core) = 4+ waves, so imbalance is stolen by the
+        # wave scheduler on every level alike.  At 100 TB this pathology
+        # cannot occur — total shuffle bytes / 64 MB advisory >> slots —
+        # so disabling it here removes a toy-scale artifact, not real work.
         extra_conf={"spark.local.dir": f"/dev/shm/fms-scaling-{cores}",
                     "spark.sql.files.maxPartitionBytes": "4m",
-                    "spark.sql.files.openCostInBytes": "131072"},
+                    "spark.sql.files.openCostInBytes": "131072",
+                    "spark.sql.adaptive.coalescePartitions.enabled":
+                        os.environ.get("SPARK_GRAFT_COALESCE", "false")},
     )
     corpus = spark.read.parquet(os.path.join(data, "corpus"))
     rows = corpus.count()  # warm the scan outside the timed region
@@ -271,10 +284,18 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
             return keyed.groupBy("kk").agg(F.max("p").alias("m")).count()
     else:
         def one_pass():
-            result = DedupPipeline(
+            pipe = DedupPipeline(
                 spark, DedupConfig(), detectors=("minhash",), collect_metrics=False
-            ).run(corpus)
-            return result.clusters.select("component").distinct().count()
+            )
+            result = pipe.run(corpus)
+            t0 = time.time()
+            n = result.clusters.select("component").distinct().count()
+            pipe.phase_walls["cluster.finalize"] = round(time.time() - t0, 3)
+            # phase attribution on stderr: lets a scaling investigation see
+            # WHICH barrier stopped shrinking with cores without a re-run
+            print(f"PHASES {json.dumps(pipe.phase_walls)}", file=sys.stderr,
+                  flush=True)
+            return n
 
     def measured_pass():
         corpus.count()  # re-warm just the scan (same shape every pass)
@@ -955,7 +976,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--data", type=str, default="/tmp/fms-bench-corpus")
     ap.add_argument("--n-base", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "80000")))
+                    # 120000 base files -> 264471 rows: the corpus size every
+                    # committed BENCH artifact (BASELINE/CALIBRATION) uses, so
+                    # a bare `bench.py --scaling` reproduces them
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "120000")))
     ap.add_argument("--job", choices=("dedup", "null", "shuffle"), default="dedup",
                     help="'null' = perfectly-parallel CPU calibration job "
                          "(box core-scaling ceiling); 'shuffle' = exchange-"

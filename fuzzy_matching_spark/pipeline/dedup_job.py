@@ -66,6 +66,11 @@ class DedupPipeline:
         self.collect_metrics = collect_metrics
         self._metrics: list[tuple[str, str, float]] = []
         self._temp_persists: list[DataFrame] = []
+        # wall seconds per materialization point, keyed by barrier label —
+        # always collected (two time.time() calls per barrier is free) so
+        # scaling investigations can attribute the wall without a re-run;
+        # surfaced in the metrics table as (stage, "wall_sec", v).
+        self.phase_walls: dict[str, float] = {}
         cfg_json = json.dumps(asdict(self.config), sort_keys=True) + repr(sorted(detectors))
         self.config_hash = hashlib.sha256(cfg_json.encode()).hexdigest()[:16]
 
@@ -88,7 +93,7 @@ class DedupPipeline:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
-    def _barrier(self, df: DataFrame) -> DataFrame:
+    def _barrier(self, df: DataFrame, label: str | None = None) -> DataFrame:
         """Eagerly materialize a persisted frame BEFORE its consumers fan out.
 
         Spark's DAGScheduler submits every stage whose parents are done, so
@@ -110,7 +115,15 @@ class DedupPipeline:
         Returns the row count — already paid for, and callers use it for
         size-gated plan choices (e.g. broadcasting sig8).
         """
-        return df.count()
+        import time as _time
+
+        t0 = _time.time()
+        n = df.count()
+        if label:
+            self.phase_walls[label] = round(
+                self.phase_walls.get(label, 0.0) + _time.time() - t0, 3
+            )
+        return n
 
     def _count_metric(
         self, stage: str, metric: str, df: DataFrame, keep: bool = False,
@@ -136,7 +149,7 @@ class DedupPipeline:
                 # force_persist marks genuinely multi-consumer frames; with
                 # metrics off nothing counts them before the consumers fan
                 # out, so fill the cache here (see _barrier)
-                self._barrier(df)
+                self._barrier(df, label=f"{stage}.{metric}")
         if self.collect_metrics:
             self._metrics.append((stage, metric, float(df.count())))
         return df
@@ -276,7 +289,7 @@ class DedupPipeline:
             sigs, num_perm=self.config.num_perm
         ).persist()
         self._temp_persists.append(sig8)
-        n_sig8 = self._barrier(sig8)
+        n_sig8 = self._barrier(sig8, label="minhash.sig8")
         # Explicit broadcast when the (already-counted) truncated frame is
         # small: the default autoBroadcastJoinThreshold (10 MB) is below the
         # frame's size well before the corpus stops being
@@ -313,7 +326,7 @@ class DedupPipeline:
         )
         est = est_raw.select("id_a", "id_b", "sim", cls.alias("cls")).persist()
         self._temp_persists.append(est)
-        self._barrier(est)
+        self._barrier(est, label="minhash.estimate")
         accepted = est.filter(F.col("cls") == 1)
         accepted = self._count_metric("minhash", "accepted_by_estimate", accepted)
         ambiguous = est.filter(F.col("cls") == 2).select("id_a", "id_b")
@@ -415,7 +428,7 @@ class DedupPipeline:
         # barrier: the exact-edges branch and the detector branch (rep_docs)
         # consume tagged from independent stages; filling it here also
         # materializes the docs cache underneath it (see _barrier)
-        self._barrier(tagged)
+        self._barrier(tagged, label="ingest.tag")
         rep_docs = tagged.filter(F.col("_rn") == 1).drop("_rn", "_min")
         if self.collect_metrics:
             self._metrics.append(("ingest", "distinct_contents", float(rep_docs.count())))
@@ -447,7 +460,15 @@ class DedupPipeline:
         # no distinct here: connected_components tolerates duplicate edges
         # (union-find ignores them; the distributed path dedups in `sym`)
         pair_edges = edges.select("id_a", "id_b")
+        import time as _time
+
+        t0 = _time.time()
         labels = connected_components(pair_edges)
+        # the small-graph path is driver-blocking (toPandas + union-find +
+        # createDataFrame all complete inside the call), so this wall is the
+        # pipeline's main SERIAL section; the distributed path returns a
+        # lazy frame and the wall lands in the caller's first action instead
+        self.phase_walls["cluster.components"] = round(_time.time() - t0, 3)
         ids = tagged.select("doc_id")
         clusters = (
             ids.join(labels, ids.doc_id == labels.id, "left")
@@ -458,6 +479,8 @@ class DedupPipeline:
         )
         clusters = self._stage("clusters", lambda: clusters)
 
+        for k, v in self.phase_walls.items():
+            self._metrics.append((k, "wall_sec", v))
         metrics = self.spark.createDataFrame(
             [(s, m, v) for s, m, v in self._metrics],
             schema="stage string, metric string, value double",
