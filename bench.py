@@ -543,6 +543,24 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
              "fastest3_tn": f3n, "fastest3_tm": f3m}
         )
 
+    # raw results persist to BENCH/scaling_raw*.json so the artifact can be
+    # re-rendered (e.g. re-normalized against a calibration measured later
+    # in the same box phase) WITHOUT repeating the hours-long measurement:
+    # `bench.py --renormalize` reloads them and rewrites BASELINE.md.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    raw_name = {"dedup": "scaling_raw.json", "null": "scaling_raw_null.json",
+                "shuffle": "scaling_raw_shuffle.json"}[job]
+    with open(os.path.join(REPO, "BENCH", raw_name), "w") as f:
+        json.dump({"rows": rows, "protocol": PROTOCOL_NAME, "rounds": ROUNDS,
+                   "job": job, "pairs": pair_results,
+                   "clusters": sorted(all_clusters)}, f, indent=1)
+    _finish_scaling(rows, pair_results, sorted(all_clusters), job)
+
+
+def _finish_scaling(rows, pair_results, clusters, job):
+    """Normalize, summarize and write the BENCH artifact for one scaling
+    run — separated from the measurement loop so ``--renormalize`` can
+    re-render a persisted run against a newer calibration."""
     # gate on the WORST pair's floor estimate (ADVICE r3: never cherry-pick
     # a pair)
     worst = min(p["floor_eff"] for p in pair_results)
@@ -603,7 +621,7 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
     }
     print(json.dumps(summary))
 
-    identical = len(all_clusters) == 1
+    identical = len(set(clusters)) == 1
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     met = "meets" if worst >= 0.8 else "MISSES"
     if job == "null":
@@ -721,7 +739,7 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
             "time), not the job.  A real cluster adds machines; page-fault\n"
             "serialization does not span nodes.\n\n"
             f"Determinism check: cluster counts across all levels, rounds and\n"
-            f"pairs — {sorted(all_clusters)} "
+            f"pairs — {sorted(set(clusters))} "
             f"({'identical' if identical else 'MISMATCH'}).\n"
         )
 
@@ -971,6 +989,10 @@ def run_matcher() -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--renormalize", action="store_true",
+                    help="re-render BENCH/BASELINE.md from the persisted "
+                         "BENCH/scaling_raw.json against the current "
+                         "calibration.json, without re-measuring")
     ap.add_argument("--matcher", action="store_true")
     ap.add_argument("--run-paired", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
@@ -989,6 +1011,15 @@ def main() -> None:
 
     if args.run_paired:
         run_paired_child(args.cores, args.data, args.job)
+    elif args.renormalize:
+        with open(os.path.join(REPO, "BENCH", "scaling_raw.json")) as f:
+            raw = json.load(f)
+        if raw.get("protocol") != PROTOCOL_NAME:
+            raise SystemExit(
+                f"scaling_raw.json protocol {raw.get('protocol')!r} != "
+                f"{PROTOCOL_NAME!r}: remeasure, don't re-render"
+            )
+        _finish_scaling(raw["rows"], raw["pairs"], raw["clusters"], raw["job"])
     elif args.scaling:
         run_scaling(args.n_base, args.job)
     elif args.matcher:
