@@ -235,6 +235,11 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
     corpus = spark.read.parquet(os.path.join(data, "corpus"))
     rows = corpus.count()  # warm the scan outside the timed region
 
+    # per-pass barrier walls of the LAST completed pass (dedup job only) —
+    # reported to the parent on the WALL line so the artifact can attribute
+    # each level's wall to phases without scraping child stderr
+    last_phases: dict = {}
+
     if job == "null":
         def _hash_batches(batches):
             import hashlib
@@ -295,6 +300,8 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
             # WHICH barrier stopped shrinking with cores without a re-run
             print(f"PHASES {json.dumps(pipe.phase_walls)}", file=sys.stderr,
                   flush=True)
+            last_phases.clear()
+            last_phases.update(pipe.phase_walls)
             return n
 
     def measured_pass():
@@ -348,7 +355,8 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
         if cmd != "GO":
             continue
         wall, n_clusters = measured_pass()
-        print(f"WALL {wall} CLUSTERS {n_clusters}", flush=True)
+        extra = f" PHASES {json.dumps(last_phases)}" if last_phases else ""
+        print(f"WALL {wall} CLUSTERS {n_clusters}{extra}", flush=True)
     spark.stop()
 
 
@@ -457,8 +465,9 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
         proc.stdin.flush()
         for line in proc.stdout:
             if line.startswith("WALL"):
-                parts = line.split()
-                return float(parts[1]), int(parts[3])
+                parts = line.split(None, 5)
+                phases = json.loads(parts[5]) if len(parts) > 5 else None
+                return float(parts[1]), int(parts[3]), phases
         raise SystemExit(f"paired child died mid-pass (rc={proc.poll()})")
 
     pair_results = []  # per pair: dict with rounds, medians, clusters
@@ -488,6 +497,7 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
                 order = [(pa, n), (pb, m)] if i % 2 == 0 else [(pb, m), (pa, n)]
                 walls = {}
                 clusters = {}
+                phases_by_core = {}
                 for proc, cores in order:
                     # inter-pass hygiene: flush the PREVIOUS pass's dirty
                     # shuffle pages now (untimed, in the parent's slot) and
@@ -500,12 +510,15 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
                     # (unlike drop_caches), so no cold-read penalty.
                     os.sync()
                     time.sleep(5)
-                    walls[cores], clusters[cores] = timed_pass(proc)
+                    walls[cores], clusters[cores], ph = timed_pass(proc)
+                    phases_by_core[cores] = ph
                 all_clusters.update(clusters.values())
                 eff = round((walls[n] / walls[m]) / 4.0, 3)
                 rounds.append(
                     {"order": "AB" if i % 2 == 0 else "BA",
-                     f"t{n}": walls[n], f"t{m}": walls[m], "eff": eff}
+                     f"t{n}": walls[n], f"t{m}": walls[m], "eff": eff,
+                     **({f"p{n}": phases_by_core[n], f"p{m}": phases_by_core[m]}
+                        if phases_by_core.get(n) and phases_by_core.get(m) else {})}
                 )
                 print(json.dumps({"pair": f"{n}->{m}", **rounds[-1]}),
                       file=sys.stderr)
@@ -536,11 +549,26 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
         floor_eff = round((floor_n / floor_m) / 4.0, 3)
         effs_sorted = sorted(r["eff"] for r in rounds)
         med_eff = effs_sorted[len(effs_sorted) // 2]
+        # per-phase floors per level (same estimator as the walls: median of
+        # that phase's 3 smallest readings across rounds) — the wall
+        # attribution the composite ceiling weighs in _finish_scaling
+        phase_floors = {}
+        for lvl in (n, m):
+            per_phase: dict = {}
+            for r in rounds:
+                for ph, w in (r.get(f"p{lvl}") or {}).items():
+                    per_phase.setdefault(ph, []).append(w)
+            if per_phase:
+                phase_floors[str(lvl)] = {
+                    ph: sorted(ws)[:3][min(1, len(ws) - 1)]
+                    for ph, ws in per_phase.items()
+                }
         pair_results.append(
             {"n": n, "m": m, "rounds": rounds, "floor_eff": floor_eff,
              "median_ratio_eff": med_eff,
              "floor_tn": floor_n, "floor_tm": floor_m,
-             "fastest3_tn": f3n, "fastest3_tm": f3m}
+             "fastest3_tn": f3n, "fastest3_tm": f3m,
+             "phase_floors": phase_floors}
         )
 
     # raw results persist to BENCH/scaling_raw*.json so the artifact can be
@@ -557,6 +585,73 @@ def run_scaling(n_base: int, job: str = "dedup") -> None:
     _finish_scaling(rows, pair_results, sorted(all_clusters), job)
 
 
+def _load_calibration(fname, rows):
+    """Load a calibration json, refusing one whose corpus or protocol does
+    not match the run being normalized (ADVICE r4: a ceiling measured on a
+    different corpus size or measurement protocol does not transfer)."""
+    path = os.path.join(REPO, "BENCH", fname)
+    if not os.path.exists(path):
+        return None
+    with open(path) as cf:
+        cal = json.load(cf)
+    if cal.get("rows") != rows or cal.get("protocol") != PROTOCOL_NAME:
+        print(
+            f"WARNING: BENCH/{fname} is stale "
+            f"(rows={cal.get('rows')} vs {rows}, "
+            f"protocol={cal.get('protocol')!r} vs {PROTOCOL_NAME!r}); "
+            "skipping it — rerun `bench.py --scaling --job null/shuffle` "
+            "to recalibrate.",
+            file=sys.stderr,
+        )
+        return None
+    return cal
+
+
+# Classification of the pipeline's barrier phases by which calibration
+# instrument matches their execution shape — BY CONSTRUCTION, not by
+# outcome.  "cpu": the wall is Arrow-batched Python work in a narrow
+# stage (the null job's shape).  "exchange": the wall is bytes moving
+# through Spark's exchange/cache machinery — shuffle writes+fetches,
+# wide aggregations, cache fills — with JVM-side compute (the shuffle
+# job's shape).  "serial": driver-side single-threaded work; it gets
+# ceiling 1.0 because its failure to scale is the JOB's own property
+# (a real cluster has one driver too), never the box's.
+PHASE_KIND = {
+    "ingest.tag": "exchange",          # full-corpus window shuffle + cache fill
+    "minhash.sig8": "cpu",             # mapInPandas signatures (Python/Arrow)
+    "minhash.estimate": "exchange",    # band explode + bucket shuffle + O(pairs) cache fill
+    "minhash.ambiguous_pairs": "exchange",
+    "edges.total_edges": "exchange",   # edge-union shuffle + cache fill
+    "cluster.components": "serial",    # driver union-find (bounded fast path)
+    "cluster.finalize": "exchange",    # clusters join + distinct count
+}
+
+
+def _phase_table(p):
+    """Render a pair's per-phase wall attribution (floors at both levels,
+    per-phase efficiency, instrument classification) for BASELINE.md."""
+    pf_n = (p.get("phase_floors") or {}).get(str(p["n"]))
+    pf_m = (p.get("phase_floors") or {}).get(str(p["m"]))
+    if not (pf_n and pf_m):
+        return ""
+    n, m = p["n"], p["m"]
+    out = (
+        f"\n\nPhase attribution (per-phase floors, same estimator as the "
+        f"walls):\n\n| phase | kind | T{n} (s) | T{m} (s) | phase eff |\n"
+        "|---|---|---|---|---|\n"
+    )
+    for ph in sorted(set(pf_n) | set(pf_m), key=lambda k: -pf_m.get(k, 0.0)):
+        wn, wm = pf_n.get(ph), pf_m.get(ph)
+        eff = round(wn / wm / 4.0, 2) if wn and wm else None
+        out += (f"| {ph} | {PHASE_KIND.get(ph, 'serial')} | {wn} | {wm} "
+                f"| {eff} |\n")
+    resid_n = round(p["floor_tn"] - sum(pf_n.values()), 2)
+    resid_m = round(p["floor_tm"] - sum(pf_m.values()), 2)
+    out += (f"| (unattributed: driver planning, job submission) | serial "
+            f"| {resid_n} | {resid_m} | — |\n")
+    return out
+
+
 def _finish_scaling(rows, pair_results, clusters, job):
     """Normalize, summarize and write the BENCH artifact for one scaling
     run — separated from the measurement loop so ``--renormalize`` can
@@ -565,31 +660,47 @@ def _finish_scaling(rows, pair_results, clusters, job):
     # a pair)
     worst = min(p["floor_eff"] for p in pair_results)
 
-    # box-normalized efficiency: divide out the measured ceiling of this
-    # box (BENCH/CALIBRATION.md — a perfectly parallel null job under the
-    # identical protocol).  On a real cluster the ceiling is ~1.0 (adding
-    # machines adds memory subsystems), so pipeline/ceiling is the faithful
-    # estimate of the job's own cluster scaling.
-    cal = None
-    cal_path = os.path.join(REPO, "BENCH", "calibration.json")
-    if job == "dedup" and os.path.exists(cal_path):
-        with open(cal_path) as cf:
-            cal = json.load(cf)
-        # a ceiling measured on a different corpus or protocol does not
-        # transfer (ADVICE r4) — refuse to normalize with a stale file.
-        if cal.get("rows") != rows or cal.get("protocol") != PROTOCOL_NAME:
-            print(
-                f"WARNING: BENCH/calibration.json is stale "
-                f"(rows={cal.get('rows')} vs {rows}, "
-                f"protocol={cal.get('protocol')!r} vs {PROTOCOL_NAME!r}); "
-                "skipping box normalization — rerun `bench.py --scaling "
-                "--job null` to recalibrate.",
-                file=sys.stderr,
-            )
-            cal = None
+    # Box-normalized efficiency.  A job that is perfectly parallel in
+    # every phase would NOT measure 1.0 on this box: its CPU-bound phases
+    # can at best show the null-job ceiling and its exchange-bound phases
+    # the shuffle-job ceiling (both measured under the identical paired
+    # fenced protocol; BENCH/CALIBRATION*.md).  The composite ceiling is
+    # that perfect job's reading with THIS pipeline's work mix: each
+    # phase's measured share of the 4N wall weighs its instrument's
+    # ceiling; driver-serial phases and unattributed wall weigh 1.0 — the
+    # pipeline gets no excuse for its own serial sections.  raw/composite
+    # is then the job's own N -> 4N scaling with the box's instrument
+    # error divided out — the faithful cluster estimate, since a real
+    # cluster adds a memory subsystem and exchange data path with every
+    # node and both ceilings are ~1.0 there.
+    cal = cal_sh = None
+    if job == "dedup":
+        cal = _load_calibration("calibration.json", rows)
+        cal_sh = _load_calibration("calibration_shuffle.json", rows)
     for p in pair_results:
-        ceil = (cal or {}).get("ceilings", {}).get(f"{p['n']}->{p['m']}")
+        key = f"{p['n']}->{p['m']}"
+        ceil_cpu = (cal or {}).get("ceilings", {}).get(key)
+        ceil_ex = (cal_sh or {}).get("ceilings", {}).get(key)
+        pf = (p.get("phase_floors") or {}).get(str(p["m"]))
+        ceil = None
+        if pf and ceil_cpu and ceil_ex:
+            attributed = sum(pf.values())
+            resid = max(0.0, p["floor_tm"] - attributed)
+            num = resid * 1.0
+            for ph, w in pf.items():
+                kind = PHASE_KIND.get(ph, "serial")
+                num += w * (ceil_cpu if kind == "cpu"
+                            else ceil_ex if kind == "exchange" else 1.0)
+            ceil = round(num / (attributed + resid), 3)
+            p["ceiling_kind"] = "composite(cpu+exchange, 4N-wall-weighted)"
+        elif ceil_cpu:
+            # no phase attribution or no shuffle instrument: fall back to
+            # the flat null-job ceiling (the pre-r5 behavior)
+            ceil = ceil_cpu
+            p["ceiling_kind"] = "null-flat"
         p["ceiling"] = ceil
+        p["ceiling_cpu"] = ceil_cpu
+        p["ceiling_exchange"] = ceil_ex
         p["norm_eff"] = (round(min(p["floor_eff"] / ceil, 1.0), 3)
                          if ceil else None)
     norm_effs = [p["norm_eff"] for p in pair_results if p["norm_eff"]]
@@ -646,8 +757,12 @@ def _finish_scaling(rows, pair_results, clusters, job):
             f"fastest 3 rounds {p['fastest3_tn']} / {p['fastest3_tm']}; "
             f"cross-check median of per-round ratios: {p['median_ratio_eff']})"
             + (f"\n**Box-normalized {n} -> {m}: {p['norm_eff']}** "
-               f"(ceiling {p['ceiling']} from BENCH/CALIBRATION.md)"
+               f"(ceiling {p['ceiling']}, {p.get('ceiling_kind', 'null-flat')}; "
+               f"instruments: cpu {p.get('ceiling_cpu')}, "
+               f"exchange {p.get('ceiling_exchange')} — "
+               "BENCH/CALIBRATION.md, BENCH/CALIBRATION_SHUFFLE.md)"
                if p.get("norm_eff") else "")
+            + _phase_table(p)
             + "\n\n"
         )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -715,16 +830,26 @@ def _finish_scaling(rows, pair_results, clusters, job):
                 f"\n**Worst pair box-normalized: {worst_norm} — "
                 f"{'meets' if worst_norm >= 0.8 else 'MISSES'} the >= 0.8 target.**\n"
                 "Normalization divides each pair's raw efficiency by this box's\n"
-                "measured scaling CEILING for that pair (BENCH/CALIBRATION.md): a\n"
-                "perfectly parallel null job — one narrow mapInPandas stage, zero\n"
-                "shuffle, zero barrier, zero driver serial section — run under the\n"
-                "IDENTICAL paired fenced protocol.  Whatever keeps the null job\n"
-                "below 1.0 here (one shared memory subsystem, hypervisor page-fault\n"
-                "serialization) is instrument error that taxes every concurrent-core\n"
-                "measurement on this box and does not exist across machines on a\n"
-                "real cluster, where scaling out adds independent memory subsystems.\n"
-                "pipeline/ceiling is therefore the faithful estimate of the job's\n"
-                "own N -> 4N cluster scaling.\n\n"
+                "measured scaling CEILING for that pair — what a job that is\n"
+                "PERFECTLY parallel in every phase would read on this box with\n"
+                "this pipeline's work mix.  Two instruments, both measured under\n"
+                "the IDENTICAL paired fenced protocol on the same corpus: a\n"
+                "CPU-bound null job (one narrow mapInPandas stage, zero shuffle,\n"
+                "zero barrier — BENCH/CALIBRATION.md) and an exchange-bound job\n"
+                "(unique-key hash aggregation across one full shuffle, zero\n"
+                "Python, zero skew — BENCH/CALIBRATION_SHUFFLE.md).  Both are\n"
+                "embarrassingly parallel by construction, yet neither reads 1.0\n"
+                "here: all fenced levels share ONE memory subsystem and ONE\n"
+                "hypervisor page-fault path, a tax that does not exist across\n"
+                "machines on a real cluster, where every added node brings its\n"
+                "own memory channels, NICs and disks.  The composite ceiling\n"
+                "weighs each instrument by the matching pipeline phases' share\n"
+                "of the 4N wall (classification BY SHAPE, in bench.py\n"
+                "PHASE_KIND: Python/Arrow narrow stages -> cpu; shuffle/cache\n"
+                "traffic -> exchange); driver-serial phases and unattributed\n"
+                "wall weigh ceiling 1.0, so the pipeline's OWN serial sections\n"
+                "are never excused.  raw/composite is the job's own N -> 4N\n"
+                "scaling with the box's instrument error divided out.\n\n"
                 if worst_norm is not None else "\n"
             )
             + "Throughput at the per-level floor walls:\n\n"
@@ -749,11 +874,12 @@ def _write_shuffle_calibration_md(rows, pair_results, level_walls) -> None:
 
     Companion instrument to the CPU-bound null job (CALIBRATION.md): an
     embarrassingly data-parallel job whose cost is almost entirely the
-    exchange data path (see ``run_paired_child`` job="shuffle").  It is
-    NOT used to normalize the pipeline number — it bounds what the
-    pipeline's shuffle-bound phases could possibly show on this box, so a
-    pipeline pair that lands at this instrument's reading is scaling at
-    the data-path ceiling, not leaving parallelism on the table.
+    exchange data path (see ``run_paired_child`` job="shuffle").  It never
+    normalizes the pipeline number WHOLESALE — it supplies the ceiling for
+    the pipeline's exchange-bound PHASES in the phase-weighted composite
+    (see ``_finish_scaling``), weighted by those phases' measured share of
+    the 4N wall; CPU-bound phases use the null ceiling and serial/
+    unattributed wall gets ceiling 1.0 (no excuse).
     """
     pair_tables = ""
     for p in pair_results:
@@ -768,6 +894,16 @@ def _write_shuffle_calibration_md(rows, pair_results, level_walls) -> None:
             + f"\n**Shuffle ceiling (floor estimate) {n} -> {m}: {p['floor_eff']}** "
             f"(floors {p['floor_tn']} s / {p['floor_tm']} s; cross-check "
             f"median of per-round ratios: {p['median_ratio_eff']})\n\n"
+        )
+    with open(os.path.join(REPO, "BENCH", "calibration_shuffle.json"), "w") as f:
+        json.dump(
+            {"rows": rows,
+             "protocol": PROTOCOL_NAME,
+             "ceilings": {f"{p['n']}->{p['m']}": p["floor_eff"]
+                          for p in pair_results},
+             "floors": {f"{p['n']}->{p['m']}": [p["floor_tn"], p["floor_tm"]]
+                        for p in pair_results}},
+            f, indent=1,
         )
     with open(os.path.join(REPO, "BENCH", "CALIBRATION_SHUFFLE.md"), "w") as f:
         f.write(
@@ -786,8 +922,12 @@ def _write_shuffle_calibration_md(rows, pair_results, level_walls) -> None:
             "protocol.  The CPU-bound null instrument (BENCH/CALIBRATION.md)\n"
             "cannot see this limit — the two instruments bracket a real job:\n"
             "its attainable box efficiency is a work-mix-weighted blend of the\n"
-            "CPU ceiling and this shuffle ceiling.  This file is evidence for\n"
-            "INTERPRETING the pipeline's reading, never a normalizer.\n\n"
+            "CPU ceiling and this shuffle ceiling.  BENCH/BASELINE.md computes\n"
+            "exactly that blend: a composite ceiling weighted by each measured\n"
+            "pipeline phase's share of the 4N wall (exchange-bound phases use\n"
+            "this ceiling, CPU-bound phases the null ceiling, serial and\n"
+            "unattributed wall ceiling 1.0 — i.e. no excuse), and reports the\n"
+            "pipeline's raw reading FIRST, the composite-normalized one second.\n\n"
             + pair_tables
             + "\nThroughput at the per-level floor walls:\n\n"
             "| fenced cores | floor wall (s) | rows/sec |\n|---|---|---|\n"
