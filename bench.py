@@ -280,8 +280,15 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
         )
 
         def one_pass():
+            # expansion sized so the instrument's walls land in the same
+            # regime as the pipeline phases it calibrates (tens of seconds
+            # per pass): a seconds-long pass would measure job-submit fixed
+            # latency, not the exchange — the exact critique the corpus-
+            # size paragraph makes of short dedup runs
             expanded = base.select(
-                F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"), "k", "p"
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(SHUFFLE_EXPAND - 1))
+                ).alias("i"), "k", "p"
             )
             keyed = expanded.select(F.xxhash64("k", "i").alias("kk"), "p")
             # keys are ~unique, so the partial agg cannot reduce map-side:
@@ -363,6 +370,13 @@ def run_paired_child(cores: int, data: str, job: str = "dedup") -> None:
 LEVELS = tuple(
     int(c) for c in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8").split(",")
 )
+# per-row fan-out of the shuffle calibration job (--job shuffle): at 300
+# the 264k-row corpus pushes ~79M rows (~11 GB) through one exchange per
+# pass, putting the instrument's walls in the same tens-of-seconds regime
+# as the pipeline's exchange-bound phases; recorded in
+# calibration_shuffle.json so a ceiling measured at a different weight is
+# recognizable
+SHUFFLE_EXPAND = int(os.environ.get("SPARK_GRAFT_SHUFFLE_EXPAND", "300"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
 # bumped whenever the measurement protocol changes in a way that breaks
 # ceiling transfer (v2: convergence-gated warmup compares against the best
@@ -899,6 +913,7 @@ def _write_shuffle_calibration_md(rows, pair_results, level_walls) -> None:
         json.dump(
             {"rows": rows,
              "protocol": PROTOCOL_NAME,
+             "expand": SHUFFLE_EXPAND,
              "ceilings": {f"{p['n']}->{p['m']}": p["floor_eff"]
                           for p in pair_results},
              "floors": {f"{p['n']}->{p['m']}": [p["floor_tn"], p["floor_tm"]]
@@ -909,8 +924,9 @@ def _write_shuffle_calibration_md(rows, pair_results, level_walls) -> None:
         f.write(
             "# BENCH/CALIBRATION_SHUFFLE — this box's shuffle-path scaling ceiling\n\n"
             f"Exchange-bound calibration job over the same {rows}-file corpus:\n"
-            "expand each row x20 with unique 64-bit keys + a 128-byte payload,\n"
-            "hash-aggregate across one full shuffle (~2 GB through the exchange;\n"
+            f"expand each row x{SHUFFLE_EXPAND} with unique 64-bit keys + a\n"
+            f"128-byte payload, hash-aggregate across one full shuffle\n"
+            f"(~{round(rows * SHUFFLE_EXPAND * 136 / 1e9, 1)} GB through the exchange;\n"
             "keys unique so the map side cannot combine), count groups.  No\n"
             "Python, no cache, no skew, no driver work — embarrassingly\n"
             "data-parallel, measured under the IDENTICAL paired fenced protocol\n"
