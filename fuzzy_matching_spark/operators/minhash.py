@@ -12,12 +12,10 @@ Dataflow (all Arrow-batched, no per-row Python):
    ``num_perm`` multiply-shift permutations -> signature (array<long>) +
    per-band fold hashes (array<long>).
 2. ``band_table`` — ``posexplode`` of the band array: (doc_id, band, bh).
-3. ``candidate_pairs`` — map-side-combinable bucket counts, join back the
-   qualifying (band, bh) keys, regroup and expand each bucket's C(n,2)
-   ordered pairs JVM-side; hot buckets above ``max_bucket_size`` are
-   *excluded and counted* (license headers / generated boilerplate would
-   otherwise quadratically explode one reducer) without ever materializing
-   their member lists.
+3. ``candidate_pairs`` — self-equi-join on (band, bh) with ``id_a < id_b``;
+   hot buckets above ``max_bucket_size`` are *excluded and counted* (license
+   headers / generated boilerplate would otherwise quadratically explode one
+   reducer); AQE skew-join handles residual imbalance.
 4. ``verify_pairs_exact`` — join contents back and compute the exact shingle
    Jaccard per pair in a pandas UDF (correctness mode), or
    ``estimate_similarity`` from signature agreement (cheap mode: ±1/sqrt(P)).
@@ -251,80 +249,40 @@ def candidate_pairs(
     config: DedupConfig,
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
-    """Bucket-grouped pair expansion -> distinct (id_a < id_b) candidate pairs.
+    """Self-join on (band, bh) -> distinct (id_a < id_b) candidate pairs.
 
     Returns ``(pairs, bucket_metrics)``; buckets larger than
     ``max_bucket_size`` are excluded from pair expansion and surfaced in the
     metrics frame (band, bh, size, skipped) — never silently dropped.
 
-    Plan shape (this replaced a window-count + self-equi-join in r5):
-
-    1. ``groupBy(band, bh).count()`` — map-side-combinable, so the shuffle
-       moves one row per *bucket*, not per band entry.
-    2. shuffle-join the band table against the qualifying bucket keys (AQE
-       upgrades it to broadcast when the key frame is small) — filters to
-       pair-expandable entries WITHOUT ever materializing a giant bucket's
-       member list (the hot-boilerplate OOM the size cap exists to prevent).
-    3. ``groupBy(band, bh).collect_list`` — reuses the join's (band, bh)
-       hash partitioning, so no third exchange — then ``array_sort`` and a
-       JVM-side triangular expansion (``transform``+``slice``+``flatten``)
-       emits each bucket's C(n,2) ordered pairs; size <= max_bucket_size
-       bounds the per-row blowup at C(cap, 2).
-
-    vs the window formulation this drops BOTH per-partition sorts (window
-    functions sort even for an unordered count) and the second full-table
-    exchange of the self-join's probe side; measured on the 264k-file bench
-    corpus it was also the pipeline's worst 2->8-core scaler (1.9x), sort
-    and exchange pressure being precisely the phases that contend at high
-    core counts.  Same output contract: distinct (id_a < id_b), hot buckets
-    excluded, dedup across bands via one narrow-row distinct.
+    The size filter is a window count over (band, bh) — one extra shuffle,
+    fully distributed.  (A broadcast semi-join of "ok buckets" would funnel
+    every bucket key through the driver: at corpus scale that's millions of
+    rows of driver work that doesn't shrink with cluster size.)
     """
+    from pyspark.sql.window import Window
+
     sizes = bands_df.groupBy("band", "bh").agg(F.count("*").alias("size"))
     metrics = sizes.withColumn("skipped", F.col("size") > config.max_bucket_size)
-    ok_keys = sizes.filter(
-        (F.col("size") > 1) & (F.col("size") <= config.max_bucket_size)
-    ).select("band", "bh")
-
-    ids = F.array_sort(F.collect_list(id_col)).alias("ids")
-    buckets = bands_df.join(ok_keys, ["band", "bh"]).groupBy("band", "bh").agg(ids)
-    # triangular expansion: for element i, pair it with every later element
-    # (slice is 1-based; transform's index is 0-based, hence i+2)
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    w = Window.partitionBy("band", "bh")
+    kept = (
+        bands_df.withColumn("_bsz", F.count("*").over(w))
+        .filter((F.col("_bsz") > 1) & (F.col("_bsz") <= config.max_bucket_size))
+        .drop("_bsz")
     )
+
+    left = kept.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
+    right = kept.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
     pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
     return pairs, metrics
 
 
-def _zero_byte_flags(word):
-    """Column expr: bit ``8i`` set iff byte ``i`` of the long ``word`` is 0.
-
-    OR-folds the byte's 8 bits onto its LSB position (``word >> k`` moves
-    bit ``8i+k`` to bit ``8i``; for k <= 7 the sampled positions only ever
-    receive the byte's own bits, so arithmetic shift-in of the sign never
-    reaches them), inverts, and masks the LSB lane.  Pure shift/or/not —
-    no addition, so ANSI-mode bigint overflow checking never trips (the
-    classic SWAR zero-byte ADD trick overflows deliberately).
-    """
-    acc = word
-    for k in range(1, 8):
-        acc = acc.bitwiseOR(F.shiftright(word, k))
-    return F.bitwise_not(acc).bitwiseAND(F.lit(0x0101010101010101))
-
-
-def estimate_similarity(
-    pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
+def estimate_similarity(pairs: DataFrame, sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Jaccard estimate = fraction of agreeing signature components.
 
     -> (id_a, id_b, sim, ns_a, ns_b); ``ns_*`` are the sides' shingle
@@ -333,107 +291,64 @@ def estimate_similarity(
     than permutations — correlated and unreliable; see
     ``DedupPipeline.minhash_edges``).
 
-    Signatures are truncated to their low byte before the pair join: the
-    join is the expensive part — O(pairs) rows x 2 signatures each — and
-    125 bytes moves 8x less than 125 longs.  A truncation false-match
-    inflates the estimate by at most (1-J)/256 (~0.004), which only
-    widens the keep-side of the prefilter band — recall-safe for the drop
-    rule; the accept rule is only applied to dense-signature pairs where
-    the residual bias is far inside the 3-sigma margin.
+    The signatures are truncated to their low byte (``array<tinyint>``)
+    before the pair join: the join is the expensive part — O(pairs) rows x
+    2 signatures each — and 125 bytes moves 8x less than 125 longs.  A
+    truncation false-match inflates the estimate by at most (1-J)/256
+    (~0.004), which only widens the keep-side of the prefilter band —
+    recall-safe for the drop rule; the accept rule is only applied to
+    dense-signature pairs where the residual bias is far inside the
+    3-sigma margin.  All arithmetic stays JVM-side (``transform``/
+    ``zip_with``).
 
-    If ``sig_df`` is a :func:`truncated_signatures` frame the bytes arrive
-    PACKED, 8 per long, in plain ``s8w_<i>`` columns: per-word XOR + a
-    shift/or zero-byte count (``bit_count``) makes the agreement one flat
-    whole-stage-codegen expression — no higher-order-function lambdas, no
-    per-row array allocations (the previous ``zip_with``+``filter`` form
-    walked 125 interpreted lambda calls and built two 125-element arrays
-    per candidate pair).  Falling back to a raw signature frame keeps the
-    same semantics via the packing expression inline.
+    If ``sig_df`` already carries a truncated ``s8`` column (see
+    :func:`truncated_signatures`), it is used directly — a pre-truncated,
+    separately-persisted frame is ~8x smaller than the signature cache, so
+    the optimizer can see a broadcast-sized relation where the full
+    signatures would force a shuffle join.  At corpus scale the frame
+    outgrows the broadcast threshold and the join degrades gracefully to
+    the shuffle plan — the choice is AQE's, per size, not hardcoded.
     """
-    if "s8w_0" in sig_df.columns:
-        nw = len([c for c in sig_df.columns if c.startswith("s8w_")])
-        base = sig_df
+    if "s8" in sig_df.columns:
+        sig8 = F.col("s8")
     else:
-        num_perm_expr = F.size("sig")
-        # packing needs a static word count; read it from the first row's
-        # signature length lazily is impossible in an expression, so the
-        # raw-frame fallback packs to the maximum 125-perm default layout
-        # only when sizes agree — callers with other sizes should use
-        # truncated_signatures().  Here: derive per-frame via a tiny probe.
-        first = sig_df.select(num_perm_expr.alias("n")).limit(1).collect()
-        num_perm = int(first[0]["n"]) if first else 0
-        base = _pack_signature_words(sig_df, num_perm, id_col)
-        nw = (num_perm + 7) // 8 if num_perm else 0
-
-    a_cols = [F.col(id_col).alias("id_a"), F.col("n_perm").alias("np_a"),
-              F.col("n_shingles").alias("ns_a")] + [
-        F.col(f"s8w_{w}").alias(f"wa_{w}") for w in range(nw)
-    ]
-    b_cols = [F.col(id_col).alias("id_b"), F.col("n_shingles").alias("ns_b")] + [
-        F.col(f"s8w_{w}").alias(f"wb_{w}") for w in range(nw)
-    ]
-    joined = pairs.join(base.select(*a_cols), "id_a").join(
-        base.select(*b_cols), "id_b"
+        sig8 = F.transform(
+            "sig", lambda x: (x.bitwiseAND(F.lit(255)) - 128).cast("tinyint")
+        )
+    a = sig_df.select(
+        F.col(id_col).alias("id_a"), sig8.alias("s8_a"), F.col("n_shingles").alias("ns_a")
     )
-    if nw:
-        # zero bytes of (a XOR b) = agreeing byte lanes; padding lanes are
-        # zero on both sides, so they always agree — subtract them.
-        zero_lanes = None
-        for w in range(nw):
-            flags = _zero_byte_flags(F.col(f"wa_{w}").bitwiseXOR(F.col(f"wb_{w}")))
-            cnt = F.bit_count(flags)
-            zero_lanes = cnt if zero_lanes is None else zero_lanes + cnt
-        pad = F.lit(8 * nw) - F.col("np_a")
-        agree = zero_lanes - pad
-    else:
-        agree = F.lit(0)
+    b = sig_df.select(
+        F.col(id_col).alias("id_b"), sig8.alias("s8_b"), F.col("n_shingles").alias("ns_b")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("s8_a", "s8_b", lambda x, y: x == y), lambda v: v
+        )
+    )
     return joined.select(
         "id_a",
         "id_b",
-        (agree / F.col("np_a")).cast("double").alias("sim"),
+        (agree / F.size("s8_a")).cast("double").alias("sim"),
         "ns_a",
         "ns_b",
     )
 
 
-def _pack_signature_words(sig_df: DataFrame, num_perm: int, id_col: str) -> DataFrame:
-    """-> (doc_id, n_perm, n_shingles, s8w_0..s8w_{nw-1}) packed low bytes."""
-    nw = (num_perm + 7) // 8
-    cols = [F.col(id_col), F.lit(num_perm).alias("n_perm"), F.col("n_shingles")]
-    for w in range(nw):
-        word = None
-        for k in range(8):
-            i = 8 * w + k
-            if i >= num_perm:
-                break
-            term = F.shiftleft(
-                F.element_at("sig", i + 1).bitwiseAND(F.lit(255)), 8 * k
-            )
-            word = term if word is None else word.bitwiseOR(term)
-        cols.append(word.alias(f"s8w_{w}"))
-    return sig_df.select(*cols)
-
-
-def truncated_signatures(
-    sig_df: DataFrame, id_col: str = "doc_id", num_perm: int | None = None
-) -> DataFrame:
-    """-> (doc_id, n_perm, n_shingles, s8w_0..s8w_{nw-1}): each signature's
-    low bytes packed 8-per-long into plain bigint columns, the projection
-    :func:`estimate_similarity` joins against.
+def truncated_signatures(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, s8 array<tinyint>, n_shingles): the 1-byte-per-component
+    signature projection used by :func:`estimate_similarity`.
 
     Built once and persisted by the pipeline so BOTH sides of the estimate
-    join read the small frame (~133 B/doc instead of 1 KB/doc) — under the
+    join read the small frame (125 B/doc instead of 1 KB/doc) — under the
     broadcast threshold this turns the estimate stage's two shuffle joins
-    into broadcast joins with zero extra exchanges.  Packing into flat
-    columns (not an array) keeps the downstream agreement arithmetic
-    inside whole-stage codegen; see :func:`estimate_similarity`.
-
-    ``num_perm`` defaults to a one-row probe of the signature length.
+    into broadcast joins with zero extra exchanges.
     """
-    if num_perm is None:
-        first = sig_df.select(F.size("sig").alias("n")).limit(1).collect()
-        num_perm = int(first[0]["n"]) if first else 0
-    return _pack_signature_words(sig_df, num_perm, id_col)
+    s8 = F.transform(
+        "sig", lambda x: (x.bitwiseAND(F.lit(255)) - 128).cast("tinyint")
+    )
+    return sig_df.select(F.col(id_col), s8.alias("s8"), F.col("n_shingles"))
 
 
 def shingle_table(

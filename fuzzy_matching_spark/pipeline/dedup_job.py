@@ -285,9 +285,7 @@ class DedupPipeline:
         # cache.  (see _barrier for the measured cost of skipping this)
         # register each persist BEFORE its barrier count: if the count job
         # throws, run()'s finally block must still unpersist (ADVICE r4)
-        sig8 = minhash.truncated_signatures(
-            sigs, num_perm=self.config.num_perm
-        ).persist()
+        sig8 = minhash.truncated_signatures(sigs).persist()
         self._temp_persists.append(sig8)
         n_sig8 = self._barrier(sig8, label="minhash.sig8")
         # Explicit broadcast when the (already-counted) truncated frame is
@@ -303,7 +301,7 @@ class DedupPipeline:
         # barrier AFTER est: accepted (union branch) and ambiguous (verify
         # branch) consume it from independent stages.  An un-persisted est
         # was tried in r5 and REVERTED: each consumer then re-runs the
-        # signature-agreement arithmetic (the per-word popcount over
+        # signature-agreement arithmetic (the zip_with agree count over
         # O(pairs) rows) and, on the broadcast plan, rebuilds the
         # driver-side broadcast per job; measured per-phase at 2 fenced
         # cores the two recomputes cost +60 s against the ~10 s the est

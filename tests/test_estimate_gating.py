@@ -91,10 +91,10 @@ def test_verify_mode_always_matches_auto_on_dense_corpus(spark):
 
 
 def test_truncated_signatures_estimate_parity(spark):
-    """estimate_similarity over the pre-packed word frame must equal the
+    """estimate_similarity over the pre-truncated s8 frame must equal the
     raw-signature fallback path exactly (same byte truncation, same agree
-    counts) — the packed frame exists purely to shrink/broadcast the join
-    — and both must equal a per-pair numpy recount of agreeing low bytes."""
+    counts) — the truncated frame exists purely to shrink the join — and
+    both must equal a per-pair numpy recount of agreeing low bytes."""
     import numpy as np
 
     from fuzzy_matching_spark.fixtures.corpus import generate_corpus_df
@@ -108,11 +108,8 @@ def test_truncated_signatures_estimate_parity(spark):
     pairs = pairs.persist()
 
     via_sig = minhash.estimate_similarity(pairs, sigs).collect()
-    s8 = minhash.truncated_signatures(sigs, num_perm=config.num_perm)
-    nw = (config.num_perm + 7) // 8
-    assert set(s8.columns) == {"doc_id", "n_perm", "n_shingles"} | {
-        f"s8w_{w}" for w in range(nw)
-    }
+    s8 = minhash.truncated_signatures(sigs)
+    assert set(s8.columns) == {"doc_id", "s8", "n_shingles"}
     via_s8 = minhash.estimate_similarity(pairs, s8).collect()
 
     key = lambda r: (r["id_a"], r["id_b"])
